@@ -237,3 +237,32 @@ class CfgNode(dict):
 
     def __reduce__(self):
         return (CfgNode, (self.to_dict(),))
+
+
+class StaticCfg:
+    """Non-dict attribute proxy over a CfgNode.
+
+    Flax linen deep-converts dict-valued module fields into FrozenDicts
+    (losing attribute access), so models store a StaticCfg instead. Nested
+    node access returns the raw CfgNode (used only at trace time).
+    """
+
+    __slots__ = ("_cfg",)
+
+    def __init__(self, cfg: CfgNode):
+        object.__setattr__(self, "_cfg", cfg)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_cfg"), name)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticCfg) and object.__getattribute__(
+            self, "_cfg"
+        ) == object.__getattribute__(other, "_cfg")
+
+    def __hash__(self):
+        return hash(object.__getattribute__(self, "_cfg").dump())
+
+    @property
+    def raw(self) -> CfgNode:
+        return object.__getattribute__(self, "_cfg")

@@ -1,0 +1,20 @@
+from .build import MODEL_REGISTRY, build_model, dummy_inputs, init_model  # noqa
+from .video_models import ResNet, SlowFast, X3D  # noqa
+
+MODEL_REGISTRY.register(SlowFast)
+MODEL_REGISTRY.register(ResNet)
+MODEL_REGISTRY.register(X3D)
+
+
+def _register_late():
+    """Register models that import heavier deps lazily."""
+    from .mvit import MViT  # noqa
+
+    if "MViT" not in MODEL_REGISTRY:
+        MODEL_REGISTRY.register(MViT)
+
+
+try:
+    _register_late()
+except ImportError:
+    pass

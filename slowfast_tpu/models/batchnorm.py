@@ -1,0 +1,131 @@
+"""Batch normalization variants for TPU.
+
+Reference behaviors reproduced (slowfast/models/batchnorm_helper.py:16-112):
+
+* ``batchnorm``      — standard BN. NOTE: under GSPMD ``jit`` with a
+  batch-sharded input, batch statistics are computed over the *global* batch
+  (XLA inserts the cross-chip reduction automatically). This matches the
+  reference's ``BN.GLOBAL_SYNC=True`` / NaiveSyncBatchNorm-global semantics
+  and is statistically strictly better than per-device stats; per-device
+  statistics are intentionally not reproduced.
+* ``sub_batchnorm``  — splits the batch into ``num_splits`` groups and
+  normalizes each with its own statistics during training (reference
+  SubBatchNorm3d). Running statistics are maintained globally (the
+  reference aggregates split stats before eval via
+  ``aggregate_sub_bn_stats``; we fold that aggregation into every update).
+* ``sync_batchnorm`` — cross-device stats; identical to ``batchnorm`` here
+  (see note above), accepted for config compatibility.
+* frozen BN (``MODEL.FROZEN_BN``) — always normalize with running stats.
+
+Statistics are computed in float32 regardless of the compute dtype.
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm3D(nn.Module):
+    """BatchNorm over (B, T, H, W) for NTHWC inputs, torch-convention momentum.
+
+    Running stats update: ``new = (1 - momentum) * old + momentum * batch``
+    (torch convention, reference bn_mmt=0.1). Variance uses the biased batch
+    estimate for normalization and the unbiased estimate for the running
+    average, matching ``torch.nn.BatchNorm3d``.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    num_splits: int = 1
+    frozen: bool = False
+    zero_init_gamma: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_init_gamma else nn.initializers.ones,
+            (self.features,),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        use_batch_stats = train and not self.frozen
+
+        if use_batch_stats:
+            reduce_axes = tuple(range(x32.ndim - 1))  # all but channel
+            if self.num_splits > 1 and x32.shape[0] % self.num_splits == 0:
+                # Sub-BN: independent stats per batch split.
+                s = self.num_splits
+                xs = x32.reshape((s, x32.shape[0] // s) + x32.shape[1:])
+                split_axes = tuple(range(1, xs.ndim - 1))
+                mean_s = jnp.mean(xs, axis=split_axes)  # (s, C)
+                var_s = jnp.mean(jnp.square(xs), axis=split_axes) - jnp.square(mean_s)
+                inv = jnp.reciprocal(jnp.sqrt(var_s + self.eps))
+                y = (xs - mean_s[:, None, None, None, None, :]) * inv[
+                    :, None, None, None, None, :
+                ]
+                y = y.reshape(x32.shape)
+                # Aggregate split stats for the running average
+                # (reference misc.aggregate_sub_bn_stats semantics).
+                mean = jnp.mean(mean_s, axis=0)
+                var = jnp.mean(var_s + jnp.square(mean_s), axis=0) - jnp.square(mean)
+            else:
+                mean = jnp.mean(x32, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+                inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+                y = (x32 - mean) * inv
+
+            if not self.is_initializing():
+                n = x32.size / self.features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (
+                    1.0 - self.momentum
+                ) * ra_mean.value + self.momentum * mean
+                ra_var.value = (
+                    1.0 - self.momentum
+                ) * ra_var.value + self.momentum * unbiased
+        else:
+            inv = jnp.reciprocal(jnp.sqrt(ra_var.value + self.eps))
+            y = (x32 - ra_mean.value) * inv
+
+        y = y * scale + bias
+        return y.astype(orig_dtype if orig_dtype != jnp.float32 else self.dtype)
+
+
+def norm_builder(cfg):
+    """Return a callable ``(features, zero_init_gamma=False) -> BatchNorm3D``
+    configured from ``cfg.BN`` (reference get_norm, batchnorm_helper.py:16-37).
+    """
+    norm_type = cfg.BN.NORM_TYPE
+    assert norm_type in (
+        "batchnorm",
+        "sub_batchnorm",
+        "sync_batchnorm",
+        "sync_batchnorm_apex",
+    ), f"Unknown BN.NORM_TYPE {norm_type}"
+    num_splits = cfg.BN.NUM_SPLITS if norm_type == "sub_batchnorm" else 1
+    frozen = cfg.MODEL.FROZEN_BN
+
+    def make(features, zero_init_gamma=False, name=None):
+        return BatchNorm3D(
+            features=features,
+            num_splits=num_splits,
+            frozen=frozen,
+            zero_init_gamma=zero_init_gamma,
+            name=name,
+        )
+
+    return make

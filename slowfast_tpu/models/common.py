@@ -1,0 +1,180 @@
+"""Common building blocks: MLP, DropPath, TwoStreamFusion, conv/init helpers.
+
+Reference: slowfast/models/common.py:7-146, slowfast/models/operators.py.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# MSRA/He fan-out init used for all convolutions (reference init via
+# fvcore c2_msra_fill, slowfast/utils/weight_init_helper.py:10-54).
+msra_fill = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def conv3d(
+    features: int,
+    kernel: Sequence[int],
+    stride: Sequence[int] = (1, 1, 1),
+    padding: Sequence[int] = (0, 0, 0),
+    groups: int = 1,
+    bias: bool = False,
+    dilation: Sequence[int] = (1, 1, 1),
+    dtype: Any = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """A 3D conv on NTHWC inputs with torch-style symmetric integer padding."""
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel),
+        strides=tuple(stride),
+        padding=[(p, p) for p in padding],
+        feature_group_count=groups,
+        use_bias=bias,
+        kernel_dilation=tuple(dilation),
+        kernel_init=msra_fill,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def max_pool3d(x, kernel, stride=None, padding=(0, 0, 0)):
+    """Torch-style MaxPool3d on NTHWC input."""
+    stride = stride or kernel
+    pad = [(p, p) for p in padding]
+    return nn.max_pool(
+        x, window_shape=tuple(kernel), strides=tuple(stride), padding=pad
+    )
+
+
+def avg_pool3d(x, kernel, stride=None, padding=(0, 0, 0)):
+    stride = stride or kernel
+    pad = [(p, p) for p in padding]
+    return nn.avg_pool(
+        x, window_shape=tuple(kernel), strides=tuple(stride), padding=pad
+    )
+
+
+def drop_path(x, rate: float, rng) -> jnp.ndarray:
+    """Stochastic depth: drop the entire residual branch per sample.
+
+    Reference: slowfast/models/common.py:46-70 (keep_prob scaling).
+    """
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape).astype(x.dtype)
+    return x / keep * mask
+
+
+class DropPath(nn.Module):
+    """Module wrapper around :func:`drop_path` using the 'dropout' RNG."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        return drop_path(x, self.rate, self.make_rng("dropout"))
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference slowfast/models/common.py:7-34)."""
+
+    hidden_features: int
+    out_features: int
+    act_layer: Callable = nn.gelu
+    drop_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02),
+            name="fc1",
+        )(x)
+        x = self.act_layer(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_features,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02),
+            name="fc2",
+        )(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class TwoStreamFusion(nn.Module):
+    """Fuse the two reversible streams (reference common.py:73-146).
+
+    mode: "add" | "max" | "min" | "avg" | "concat" | "concat_linear_{1,2}"
+    or "ln+mlp"-style projected fusions operating on the channel-concat.
+    """
+
+    mode: str
+    dim: int = 0  # concat dim size (2 * channel), needed for projected modes
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        a, b = jnp.split(x, 2, axis=-1)
+        if self.mode == "add":
+            return a + b
+        if self.mode == "max":
+            return jnp.maximum(a, b)
+        if self.mode == "min":
+            return jnp.minimum(a, b)
+        if self.mode == "avg":
+            return (a + b) * 0.5
+        if self.mode == "concat":
+            return x
+        if self.mode in ("concat_linear", "concat_linear_1"):
+            return x + nn.Dense(self.dim, name="fuse_fn")(x)
+        if self.mode == "concat_linear_2":
+            y = nn.Dense(self.dim, name="fuse_fn1")(x)
+            return x + nn.Dense(self.dim, name="fuse_fn2")(y)
+        if self.mode == "ln+mlp":
+            y = nn.LayerNorm(name="fuse_norm")(x)
+            y = Mlp(
+                hidden_features=4 * self.dim,
+                out_features=self.dim,
+                name="fuse_mlp",
+            )(y, deterministic=deterministic)
+            return x + y
+        raise NotImplementedError(f"TwoStreamFusion mode {self.mode}")
+
+
+class SE(nn.Module):
+    """Squeeze-and-Excitation on NTHWC (reference operators.py:15-59)."""
+
+    dim_in: int
+    ratio: float
+
+    @staticmethod
+    def _round_width(width, multiplier, min_width=8, divisor=8):
+        if not multiplier:
+            return width
+        width *= multiplier
+        min_width = min_width or divisor
+        width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+        if width_out < 0.9 * width:
+            width_out += divisor
+        return int(width_out)
+
+    @nn.compact
+    def __call__(self, x):
+        dim_fc = self._round_width(self.dim_in, self.ratio)
+        s = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        s = nn.Conv(dim_fc, (1, 1, 1), use_bias=True, kernel_init=msra_fill, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Conv(
+            self.dim_in, (1, 1, 1), use_bias=True, kernel_init=msra_fill, name="fc2"
+        )(s)
+        s = nn.sigmoid(s)
+        return x * s

@@ -1,0 +1,164 @@
+"""Video model stems (reference slowfast/models/stem_helper.py:20-320).
+
+All modules operate on NTHWC tensors.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import conv3d, max_pool3d
+
+
+class ResNetBasicStem(nn.Module):
+    """Conv(Txkxk) -> BN -> ReLU -> MaxPool(1x3x3 /1,2,2).
+
+    Reference: stem_helper.py:127-201.
+    """
+
+    dim_out: int
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    padding: Sequence[int]
+    norm: Callable
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3d(
+            self.dim_out,
+            self.kernel,
+            self.stride,
+            self.padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = self.norm(self.dim_out, name="bn")(x, train=train)
+        x = nn.relu(x)
+        x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        return x
+
+
+class X3DStem(nn.Module):
+    """Spatial conv then depthwise temporal conv -> BN -> ReLU.
+
+    Reference: stem_helper.py:204-285.
+    """
+
+    dim_out: int
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    padding: Sequence[int]
+    norm: Callable
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3d(
+            self.dim_out,
+            (1, self.kernel[1], self.kernel[2]),
+            (1, self.stride[1], self.stride[2]),
+            (0, self.padding[1], self.padding[2]),
+            dtype=self.dtype,
+            name="conv_xy",
+        )(x)
+        x = conv3d(
+            self.dim_out,
+            (self.kernel[0], 1, 1),
+            (self.stride[0], 1, 1),
+            (self.padding[0], 0, 0),
+            groups=self.dim_out,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = self.norm(self.dim_out, name="bn")(x, train=train)
+        x = nn.relu(x)
+        return x
+
+
+class VideoModelStem(nn.Module):
+    """Per-pathway stem dispatch (reference stem_helper.py:20-124).
+
+    Module names follow the reference's ``pathway{i}_stem`` convention so
+    checkpoint name mapping is mechanical.
+    """
+
+    dim_out: Sequence[int]
+    kernel: Sequence[Sequence[int]]
+    stride: Sequence[Sequence[int]]
+    padding: Sequence[Sequence[int]]
+    norm: Callable
+    stem_func_name: str = "basic_stem"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        assert len(xs) == len(self.dim_out), (
+            f"Input has {len(xs)} pathways, expected {len(self.dim_out)}"
+        )
+        stem_cls = {"basic_stem": ResNetBasicStem, "x3d_stem": X3DStem}[
+            self.stem_func_name
+        ]
+        out = []
+        for p, x in enumerate(xs):
+            stem = stem_cls(
+                dim_out=self.dim_out[p],
+                kernel=self.kernel[p],
+                stride=self.stride[p],
+                padding=self.padding[p],
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"pathway{p}_stem",
+            )
+            out.append(stem(x, train=train))
+        return out
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchification stem for MViT (reference stem_helper.py:288-320).
+
+    Returns (tokens [B, N, C], spatial shape [T', H', W']).
+    """
+
+    dim_out: int = 768
+    kernel: Sequence[int] = (1, 16, 16)
+    stride: Sequence[int] = (1, 4, 4)
+    padding: Sequence[int] = (1, 7, 7)
+    conv_2d: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: NTHWC (or NHWC when conv_2d).
+        if self.conv_2d:
+            kernel, stride, padding = (
+                self.kernel[1:],
+                self.stride[1:],
+                self.padding[1:],
+            )
+            x = nn.Conv(
+                self.dim_out,
+                kernel_size=tuple(kernel),
+                strides=tuple(stride),
+                padding=[(p, p) for p in padding],
+                use_bias=True,
+                kernel_init=nn.initializers.truncated_normal(0.02),
+                dtype=self.dtype,
+                name="proj",
+            )(x)
+            shape = x.shape[1:-1]  # (H', W')
+        else:
+            x = nn.Conv(
+                self.dim_out,
+                kernel_size=tuple(self.kernel),
+                strides=tuple(self.stride),
+                padding=[(p, p) for p in self.padding],
+                use_bias=True,
+                kernel_init=nn.initializers.truncated_normal(0.02),
+                dtype=self.dtype,
+                name="proj",
+            )(x)
+            shape = x.shape[1:-1]  # (T', H', W')
+        tokens = x.reshape(x.shape[0], -1, x.shape[-1])
+        return tokens, shape

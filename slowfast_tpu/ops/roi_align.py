@@ -1,0 +1,146 @@
+"""ROIAlign for TPU via vectorized XLA gathers + bilinear interpolation.
+
+Reimplements detectron2's ROIAlign semantics (used by the reference at
+slowfast/models/head_helper.py:88-94 with ``aligned=True``,
+``sampling_ratio=0``, resolution 7, spatial_scale 1/16):
+
+* ``aligned=True``: coordinates are scaled then shifted by -0.5 so bilinear
+  neighbors are computed in the half-pixel-center model.
+* ``sampling_ratio=0``: an adaptive ``ceil(bin_size)`` sample grid per bin.
+  XLA needs static shapes, so we sample a fixed ``max_samples`` grid per bin
+  and zero-weight samples beyond the per-ROI adaptive count — numerically
+  identical to the dynamic grid for counts <= ``max_samples``.
+* Samples whose center falls outside [-1, H] x [-1, W] contribute zero;
+  in-range coordinates are clamped to the feature extent.
+
+Everything is batched: R ROIs x P x P bins x S^2 samples of bilinear
+4-neighbor gathers, fully unrolled as tensor ops (no host loops).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(feats, y, x):
+    """Bilinear sample feats (H, W, C) at continuous (y, x) of shape (...,).
+
+    Out-of-range samples (y < -1 or y > H, likewise x) return 0, matching
+    the detectron2 kernel. Returns (..., C).
+    """
+    H, W, _ = feats.shape
+    oob = (y < -1.0) | (y > H * 1.0) | (x < -1.0) | (x > W * 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x = jnp.clip(x, 0.0, W - 1.0)
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1 = jnp.minimum(y0 + 1, H - 1.0)
+    x1 = jnp.minimum(x0 + 1, W - 1.0)
+    ly = y - y0
+    lx = x - x0
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
+
+    def g(yi, xi):
+        return feats[yi, xi]  # advanced indexing → XLA gather, (..., C)
+
+    val = (
+        g(y0i, x0i) * (hy * hx)[..., None]
+        + g(y0i, x1i) * (hy * lx)[..., None]
+        + g(y1i, x0i) * (ly * hx)[..., None]
+        + g(y1i, x1i) * (ly * lx)[..., None]
+    )
+    return jnp.where(oob[..., None], 0.0, val)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned", "max_samples")
+)
+def roi_align(
+    feats,
+    boxes,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16,
+    sampling_ratio: int = 0,
+    aligned: bool = True,
+    max_samples: int = 4,
+):
+    """ROIAlign.
+
+    Args:
+      feats: (B, H, W, C) feature maps.
+      boxes: (R, 5) rows of [batch_index, x1, y1, x2, y2] in input coords.
+      output_size: P, the pooled resolution.
+      sampling_ratio: samples per bin per axis; 0 = adaptive ceil(bin size).
+      max_samples: static cap for the adaptive grid.
+
+    Returns:
+      (R, P, P, C) pooled features.
+    """
+    P = output_size
+    feats = feats.astype(jnp.float32)
+    boxes = boxes.astype(jnp.float32)
+    batch_idx = boxes[:, 0].astype(jnp.int32)
+
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[:, 1] * spatial_scale - offset
+    y1 = boxes[:, 2] * spatial_scale - offset
+    x2 = boxes[:, 3] * spatial_scale - offset
+    y2 = boxes[:, 4] * spatial_scale - offset
+
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_h = roi_h / P  # (R,)
+    bin_w = roi_w / P
+
+    S = max_samples if sampling_ratio <= 0 else sampling_ratio
+    if sampling_ratio > 0:
+        grid_h = jnp.full_like(bin_h, float(sampling_ratio))
+        grid_w = jnp.full_like(bin_w, float(sampling_ratio))
+    else:
+        grid_h = jnp.clip(jnp.ceil(bin_h), 1.0, float(S))
+        grid_w = jnp.clip(jnp.ceil(bin_w), 1.0, float(S))
+
+    ph = jnp.arange(P, dtype=jnp.float32)
+    s = jnp.arange(S, dtype=jnp.float32)
+
+    # y sample positions: (R, P, S)
+    yy = (
+        y1[:, None, None]
+        + ph[None, :, None] * bin_h[:, None, None]
+        + (s[None, None, :] + 0.5) * bin_h[:, None, None] / grid_h[:, None, None]
+    )
+    xx = (
+        x1[:, None, None]
+        + ph[None, :, None] * bin_w[:, None, None]
+        + (s[None, None, :] + 0.5) * bin_w[:, None, None] / grid_w[:, None, None]
+    )
+    wy = (s[None, None, :] < grid_h[:, None, None]).astype(jnp.float32)
+    wx = (s[None, None, :] < grid_w[:, None, None]).astype(jnp.float32)
+
+    # Full sample grid: (R, P, P, S, S)
+    Y = jnp.broadcast_to(yy[:, :, None, :, None], yy.shape[:1] + (P, P, S, S))
+    X = jnp.broadcast_to(xx[:, None, :, None, :], xx.shape[:1] + (P, P, S, S))
+    Wgt = wy[:, :, None, :, None] * wx[:, None, :, None, :]  # (R,P,P,S,S)
+
+    def per_roi(b, y, x, w, count):
+        v = _bilinear(feats[b], y, x)  # (P,P,S,S,C)
+        return jnp.sum(v * w[..., None], axis=(2, 3)) / count  # (P,P,C)
+
+    count = (grid_h * grid_w)[:, None, None]  # (R,1,1)
+    out = jax.vmap(per_roi)(
+        batch_idx,
+        Y.transpose(0, 1, 2, 3, 4),
+        X,
+        Wgt,
+        count,
+    )
+    return out
