@@ -87,6 +87,7 @@ class Mlp(nn.Module):
     out_features: int
     act_layer: Callable = nn.gelu
     drop_rate: float = 0.0
+    bias_init: Callable = nn.initializers.zeros
     dtype: Any = None
 
     @nn.compact
@@ -95,6 +96,7 @@ class Mlp(nn.Module):
             self.hidden_features,
             dtype=self.dtype,
             kernel_init=nn.initializers.truncated_normal(0.02),
+            bias_init=self.bias_init,
             name="fc1",
         )(x)
         x = self.act_layer(x)
@@ -104,6 +106,7 @@ class Mlp(nn.Module):
             self.out_features,
             dtype=self.dtype,
             kernel_init=nn.initializers.truncated_normal(0.02),
+            bias_init=self.bias_init,
             name="fc2",
         )(x)
         if self.drop_rate > 0.0:

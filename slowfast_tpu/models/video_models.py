@@ -46,7 +46,7 @@ POOL1 = {
 }
 
 
-def round_width(width, multiplier, min_width=8, divisor=8):
+def round_width(width, multiplier, min_width=1, divisor=1):
     """X3D width rounding (reference slowfast/models/utils.py:10-25)."""
     if not multiplier:
         return width
