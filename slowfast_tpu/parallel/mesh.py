@@ -1,0 +1,64 @@
+"""Device mesh and sharding helpers.
+
+The reference's distributed runtime (slowfast/utils/{multiprocessing,
+distributed}.py) spawns one process per GPU and wraps the model in DDP over
+NCCL. The TPU-native equivalent is a single-controller SPMD program: one
+`jax.sharding.Mesh` over all chips with a ``data`` axis; the batch is
+sharded over ``data`` inside the jitted train step, and XLA inserts the
+gradient reductions (the DDP allreduce) automatically. Multi-host (the
+reference's ``--num_shards``) maps to `jax.distributed.initialize` +
+the same global mesh.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(cfg):
+    """Multi-host bring-up (reference mpu.run, multiprocessing.py:9-62)."""
+    if cfg.NUM_SHARDS > 1:
+        coord = cfg.get("INIT_METHOD", "tcp://localhost:9999")
+        address = coord.replace("tcp://", "")
+        jax.distributed.initialize(
+            coordinator_address=address,
+            num_processes=cfg.NUM_SHARDS,
+            process_id=cfg.SHARD_ID,
+        )
+
+
+def create_mesh(cfg=None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if cfg is not None and cfg.TPU.MESH_DATA not in (-1, 0, None):
+        n = min(n, cfg.TPU.MESH_DATA)
+        devices = devices[:n]
+    return Mesh(np.asarray(devices).reshape(n), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with the leading axis sharded over data."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def is_master_proc() -> bool:
+    """True on the host that should log/checkpoint
+    (reference distributed.py:103-110)."""
+    return jax.process_index() == 0
+
+
+def get_world_size() -> int:
+    return jax.device_count()
