@@ -1,0 +1,141 @@
+"""Video decoding and temporal sampling.
+
+Reference: slowfast/datasets/decoder.py:17-616. The decode backend here is
+OpenCV (cv2.VideoCapture, C++/FFmpeg under the hood) since PyAV/torchvision
+are not part of the TPU image; the temporal-sampling math (clip placement,
+linspace frame selection, TARGET_FPS normalization) reproduces the
+reference exactly.
+"""
+
+import math
+import random
+
+import numpy as np
+
+
+def temporal_sampling(frames, start_idx, end_idx, num_samples):
+    """Evenly sample num_samples frame indices in [start, end] and gather.
+
+    Reference decoder.py:17-34 (torch.linspace + index_select semantics).
+    frames: (T, H, W, C) ndarray.
+    """
+    index = np.linspace(start_idx, end_idx, num_samples)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index]
+
+
+def get_start_end_idx(video_size, clip_size, clip_idx, num_clips, use_offset=False):
+    """Clip placement (reference decoder.py:37-76).
+
+    clip_idx == -1: uniform-random start; else the clip_idx-th of num_clips
+    uniformly spaced clips (with the use_offset centering variant).
+    """
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        start_idx = random.uniform(0, delta)
+    else:
+        if use_offset:
+            if num_clips == 1:
+                start_idx = math.floor(delta / 2)
+            else:
+                start_idx = clip_idx * math.floor(delta / max(num_clips - 1, 1))
+        else:
+            start_idx = delta * clip_idx / num_clips
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx, start_idx / delta if delta != 0 else 0.0
+
+
+def get_multiple_start_end_idx(
+    video_size, clip_sizes, clip_idx, num_clips, min_delta=0, max_delta=math.inf
+):
+    """Sample start/ends for multiple clips with pairwise delta constraints
+    (reference decoder.py:79-183, simplified retry-sampling)."""
+    se_inds = np.empty((0, 2))
+    dt = np.empty((0,))
+    for retry in range(100):
+        se_inds = []
+        for i, clip_size in enumerate(clip_sizes):
+            s, e, _ = get_start_end_idx(video_size, clip_size, clip_idx, num_clips)
+            se_inds.append([s, e])
+        se_inds = np.array(se_inds)
+        if len(clip_sizes) == 1:
+            return se_inds
+        order = np.argsort(se_inds[:, 0])
+        dt = se_inds[order][1:, 0] - se_inds[order][:-1, 1]
+        if ((dt >= min_delta) & (dt <= max_delta)).all():
+            break
+    return se_inds
+
+
+def get_video_fps_and_frames(path):
+    """Probe a video with cv2 (container open, reference video_container.py)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None, 0, 0
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    return cap, fps, n
+
+
+def decode(
+    path,
+    sampling_rate,
+    num_frames,
+    clip_idx=-1,
+    num_clips=10,
+    target_fps=30,
+    max_spatial_scale=0,
+    use_offset=False,
+):
+    """Decode a clip from a video file (reference decoder.py:452-616).
+
+    Selective decode: seeks to the sampled PTS window and decodes only the
+    frames covering [start, end], with optional decode-time short-side
+    resize (DATA.DECODING_SHORT_SIZE behavior).
+
+    Returns (frames uint8 (T,H,W,C), fps, decode_all_video) or None.
+    """
+    import cv2
+
+    cap, fps, total = get_video_fps_and_frames(path)
+    if cap is None or total <= 0:
+        if cap is not None:
+            cap.release()
+        return None
+
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    start_idx, end_idx, _ = get_start_end_idx(
+        total, clip_size, clip_idx, num_clips, use_offset=use_offset
+    )
+    start_f = max(int(math.floor(start_idx)), 0)
+    end_f = min(int(math.ceil(end_idx)), total - 1)
+
+    if start_f > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start_f)
+    frames = []
+    for _ in range(end_f - start_f + 1):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if max_spatial_scale > 0:
+            h, w = frame.shape[:2]
+            short = min(h, w)
+            if short > max_spatial_scale:
+                scale = max_spatial_scale / short
+                frame = cv2.resize(
+                    frame,
+                    (int(round(w * scale)), int(round(h * scale))),
+                    interpolation=cv2.INTER_LINEAR,
+                )
+        frames.append(frame[:, :, ::-1])  # BGR -> RGB
+    cap.release()
+    if not frames:
+        return None
+    frames = np.stack(frames)
+
+    # Frame indices relative to the decoded window.
+    index = np.linspace(start_idx - start_f, end_idx - start_f, num_frames)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index], fps, False

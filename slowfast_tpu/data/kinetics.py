@@ -1,0 +1,228 @@
+"""Kinetics dataset (reference slowfast/datasets/kinetics.py:29-527).
+
+CSV lists of ``path label``; train/val sample one random clip, test expands
+each video into NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS clips. Decode
+failures retry with random replacement (<=100 tries). ``DATA.DUMMY_LOAD``
+caches one synthetic item for input-pipeline-free benchmarking.
+"""
+
+import os
+import random
+
+import numpy as np
+
+from slowfast_tpu.utils import logging as logging_utils
+from . import decoder, utils as data_utils
+from .build import DATASET_REGISTRY
+
+logger = logging_utils.get_logger(__name__)
+
+
+@DATASET_REGISTRY.register(name="Kinetics")
+class Kinetics:
+    def __init__(self, cfg, mode, num_retries=100):
+        assert mode in ["train", "val", "test"]
+        self.mode = mode
+        self.cfg = cfg
+        self._num_retries = num_retries
+        self._video_meta = {}
+        self.dummy_output = None
+        if mode in ["train", "val"]:
+            self._num_clips = 1
+        else:
+            self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        self._construct_loader()
+        self.randaug = None
+        if cfg.AUG.ENABLE and mode == "train" and cfg.AUG.AA_TYPE:
+            from .rand_augment import rand_augment_transform
+
+            self.randaug = rand_augment_transform(
+                cfg.AUG.AA_TYPE,
+                dict(
+                    translate_const=int(cfg.DATA.TRAIN_CROP_SIZE * 0.45),
+                    img_mean=tuple(
+                        min(255, round(255 * m)) for m in cfg.DATA.MEAN
+                    ),
+                    interpolation=cfg.AUG.INTERPOLATION,
+                ),
+            )
+
+    def _construct_loader(self):
+        csv_name = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}[
+            self.mode
+        ]
+        path_to_file = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, csv_name)
+        assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        self._path_to_videos = []
+        self._labels = []
+        self._spatial_temporal_idx = []
+        with open(path_to_file) as f:
+            for clip_idx, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                fields = line.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+                assert len(fields) == 2, f"bad line {line!r}"
+                path, label = fields
+                for idx in range(self._num_clips):
+                    self._path_to_videos.append(
+                        os.path.join(self.cfg.DATA.PATH_PREFIX, path)
+                    )
+                    self._labels.append(int(label))
+                    self._spatial_temporal_idx.append(idx)
+                    self._video_meta[clip_idx * self._num_clips + idx] = {}
+        assert len(self._path_to_videos) > 0, (
+            f"Failed to load Kinetics split {self.mode} from {path_to_file}"
+        )
+        logger.info(
+            "Constructed kinetics dataloader (size: %d) from %s",
+            len(self._path_to_videos),
+            path_to_file,
+        )
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def num_videos(self):
+        return len(self._path_to_videos)
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        if self.dummy_output is not None:
+            return self.dummy_output
+
+        if self.mode in ["train", "val"]:
+            temporal_sample_index = -1
+            spatial_sample_index = -1
+            min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
+            crop_size = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            temporal_sample_index = (
+                self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
+            )
+            spatial_sample_index = (
+                self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS
+                if cfg.TEST.NUM_SPATIAL_CROPS > 1
+                else 1
+            )
+            min_scale, max_scale = [cfg.DATA.TEST_CROP_SIZE] * 2
+            crop_size = cfg.DATA.TEST_CROP_SIZE
+
+        sampling_rate = cfg.DATA.SAMPLING_RATE
+        for i_try in range(self._num_retries):
+            result = decoder.decode(
+                self._path_to_videos[index],
+                sampling_rate,
+                cfg.DATA.NUM_FRAMES,
+                clip_idx=temporal_sample_index,
+                num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                target_fps=cfg.DATA.TARGET_FPS,
+                max_spatial_scale=(
+                    cfg.DATA.DECODING_SHORT_SIZE
+                    if self.mode in ["test"]
+                    else 0
+                ),
+                use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+            )
+            if result is None:
+                logger.warning(
+                    "Failed to decode video idx %d, trial %d", index, i_try
+                )
+                if self.mode not in ["test"] and i_try > self._num_retries // 2:
+                    index = random.randint(0, len(self._path_to_videos) - 1)
+                continue
+            frames, fps, _ = result
+            break
+        else:
+            raise RuntimeError(
+                f"Failed to fetch video after {self._num_retries} retries."
+            )
+
+        frames = self._process_clip(
+            frames, spatial_sample_index, min_scale, max_scale, crop_size
+        )
+        label = self._labels[index]
+        if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
+            self.dummy_output = (frames, label, index, np.zeros((1,)), {})
+        return frames, label, index, np.zeros((1,)), {}
+
+    def _process_clip(
+        self, frames, spatial_sample_index, min_scale, max_scale, crop_size
+    ):
+        cfg = self.cfg
+        if self.randaug is not None:
+            frames = self.randaug(frames)
+        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        scl, asp = cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE, cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE
+        frames = data_utils.spatial_sampling(
+            frames,
+            spatial_idx=spatial_sample_index,
+            min_scale=min_scale,
+            max_scale=max_scale,
+            crop_size=crop_size,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+            aspect_ratio=asp if asp else None,
+            scale=scl if scl else None,
+            motion_shift=(
+                cfg.DATA.TRAIN_JITTER_MOTION_SHIFT if self.mode == "train" else False
+            ),
+        )
+        if self.mode == "train" and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0:
+            from .random_erasing import RandomErasing
+
+            re = RandomErasing(
+                cfg.AUG.RE_PROB,
+                mode=cfg.AUG.RE_MODE,
+                max_count=cfg.AUG.RE_COUNT,
+                num_splits=cfg.AUG.RE_COUNT,
+            )
+            frames = re(frames)
+        return data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+
+
+@DATASET_REGISTRY.register(name="Syntheticvideo")
+class Syntheticvideo:
+    """Synthetic clips: the DUMMY_LOAD-style fixture as a first-class dataset
+    (SURVEY.md §4) for benchmarks and tests without real data."""
+
+    def __init__(self, cfg, mode, num_retries=1):
+        self.cfg = cfg
+        self.mode = mode
+        self._size = 256 if mode == "train" else 64
+        self._rng = np.random.RandomState(0)
+        if mode == "test":
+            self._num_clips = (
+                cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+            )
+            self._size *= self._num_clips
+        else:
+            self._num_clips = 1
+
+    def __len__(self):
+        return self._size
+
+    @property
+    def num_videos(self):
+        return self._size
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        crop = (
+            cfg.DATA.TRAIN_CROP_SIZE
+            if self.mode in ("train", "val")
+            else cfg.DATA.TEST_CROP_SIZE
+        )
+        t = cfg.DATA.NUM_FRAMES
+        rng = np.random.RandomState(index)
+        frames = rng.randint(0, 255, (t, crop, crop, 3), np.uint8)
+        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        label = int(rng.randint(0, cfg.MODEL.NUM_CLASSES))
+        return (
+            data_utils.pack_pathway_output(cfg, frames.astype(np.float32)),
+            label,
+            index,
+            np.zeros((1,)),
+            {},
+        )

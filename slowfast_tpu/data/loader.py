@@ -1,0 +1,161 @@
+"""Input pipeline: sharded sampling, threaded decode workers, prefetch.
+
+The reference wraps datasets in torch DataLoader with per-GPU worker
+processes (slowfast/datasets/loader.py:86-171). The TPU-native pipeline is
+host-side: a per-epoch seeded permutation sharded across hosts
+(DistributedSampler semantics, reference datasets/utils.py:329-343), a
+thread pool decoding/augmenting samples (cv2/numpy release the GIL), and a
+bounded prefetch queue of collated global-batch numpy arrays that the
+trainer device_puts with the batch sharded over the mesh ``data`` axis.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from .build import build_dataset
+
+# Import to register datasets.
+from . import kinetics  # noqa: F401
+
+
+def detection_collate(samples):
+    """Variable-box collate: concat boxes with batch index prepended
+    (reference loader.py:48-83). Returns padded host arrays."""
+    inputs = _stack_inputs([s[0] for s in samples])
+    labels = [s[1] for s in samples]
+    index = np.asarray([s[2] for s in samples], np.int64)
+    time_arr = np.stack([np.asarray(s[3]) for s in samples])
+    metas = [s[4] for s in samples]
+
+    all_boxes, all_box_labels, ori_boxes, metadata = [], [], [], []
+    for i, meta in enumerate(metas):
+        boxes = meta["boxes"]
+        for j in range(boxes.shape[0]):
+            all_boxes.append([i] + list(boxes[j]))
+            ori_boxes.append([i] + list(meta["ori_boxes"][j]))
+            metadata.append(meta["metadata"][j] if "metadata" in meta else [0, 0])
+        all_box_labels.append(np.asarray(labels[i]))
+    extra = {
+        "boxes": np.asarray(all_boxes, np.float32),
+        "ori_boxes": np.asarray(ori_boxes, np.float32),
+        "metadata": np.asarray(metadata, np.float32),
+    }
+    labels = np.concatenate(all_box_labels, axis=0).astype(np.float32)
+    return inputs, labels, index, time_arr, extra
+
+
+def _stack_inputs(inputs_list):
+    num_pathways = len(inputs_list[0])
+    return [
+        np.stack([inp[p] for inp in inputs_list]).astype(np.float32)
+        for p in range(num_pathways)
+    ]
+
+
+def default_collate(samples):
+    inputs = _stack_inputs([s[0] for s in samples])
+    labels = np.asarray([s[1] for s in samples])
+    if labels.dtype == np.float64:
+        labels = labels.astype(np.float32)
+    index = np.asarray([s[2] for s in samples], np.int64)
+    time_arr = np.stack([np.asarray(s[3]) for s in samples])
+    return inputs, labels, index, time_arr, {}
+
+
+class ShardedLoader:
+    """Iterable over collated global batches for this host's shard."""
+
+    def __init__(self, dataset, batch_size, shuffle, drop_last, cfg, collate=None):
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.cfg = cfg
+        self.epoch = 0
+        self.num_workers = max(cfg.DATA_LOADER.NUM_WORKERS, 1)
+        self.collate = collate or default_collate
+        # Multi-host: each host loads 1/num_processes of every global batch.
+        self.num_hosts = jax.process_count()
+        self.host_id = jax.process_index()
+        assert batch_size % self.num_hosts == 0
+        self.host_batch = batch_size // self.num_hosts
+
+    def set_epoch(self, epoch):
+        """Per-epoch reshuffle (reference loader.shuffle_dataset :174-207)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch
+        return (n + self.global_batch - 1) // self.global_batch
+
+    def _indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.cfg.RNG_SEED + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        num_batches = len(self)
+        for b in range(num_batches):
+            batch = order[b * self.global_batch : (b + 1) * self.global_batch]
+            if len(batch) < self.global_batch and self.drop_last:
+                return
+            # This host's slice of the global batch.
+            yield batch[self.host_id :: self.num_hosts][: self.host_batch]
+
+    def __iter__(self):
+        prefetch = max(self.cfg.TPU.PREFETCH, 1)
+        q = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                try:
+                    for idx_batch in self._indices():
+                        samples = list(pool.map(self.dataset.__getitem__, idx_batch))
+                        q.put(self.collate(samples))
+                except Exception as e:  # surface worker errors to consumer
+                    q.put(e)
+                finally:
+                    q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def construct_loader(cfg, split):
+    """Build the loader for a split (reference loader.py:86-171)."""
+    assert split in ["train", "val", "test"]
+    if split == "train":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = False, False
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE
+        shuffle, drop_last = False, False
+
+    dataset = build_dataset(dataset_name, cfg, split)
+    collate = detection_collate if cfg.DETECTION.ENABLE else default_collate
+    return ShardedLoader(dataset, batch_size, shuffle, drop_last, cfg, collate)
+
+
+def shuffle_dataset(loader, cur_epoch):
+    loader.set_epoch(cur_epoch)

@@ -1,0 +1,95 @@
+"""Multi-view test driver (reference tools/test_net.py:24-267)."""
+
+import pickle
+import pprint
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slowfast_tpu.data import construct_loader
+from slowfast_tpu.engine.steps import create_train_state, make_eval_step
+from slowfast_tpu.models import build_model
+from slowfast_tpu.parallel import mesh as mesh_lib
+from slowfast_tpu.solver.optimizer import construct_optimizer
+from slowfast_tpu.utils import checkpoint as cu
+from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.meters import TestMeter
+
+logger = logging_utils.get_logger(__name__)
+
+
+def perform_test(test_loader, state, eval_fn, test_meter, cfg):
+    test_meter.iter_tic()
+    for cur_iter, (inputs, labels, video_idx, times, meta) in enumerate(test_loader):
+        batch = {
+            "inputs": [jnp.asarray(x) for x in inputs],
+            "labels": jnp.asarray(labels),
+        }
+        if cfg.DETECTION.ENABLE:
+            batch["boxes"] = jnp.asarray(meta["boxes"])
+        preds = np.asarray(eval_fn(state, batch))
+        test_meter.iter_toc()
+        test_meter.update_stats(preds, np.asarray(labels), np.asarray(video_idx))
+        test_meter.log_iter_stats(cur_iter)
+        test_meter.iter_tic()
+    test_meter.finalize_metrics()
+    return test_meter
+
+
+def test(cfg):
+    """Test entry, looping over NUM_TEMPORAL_CLIPS view counts
+    (reference test_net.py:154-267)."""
+    mesh_lib.init_distributed(cfg)
+    logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
+    logger.info("Test with config:")
+    logger.info(pprint.pformat(cfg.to_dict()))
+
+    view_counts = cfg.TEST.NUM_TEMPORAL_CLIPS or [cfg.TEST.NUM_ENSEMBLE_VIEWS]
+    results = []
+    for num_view in view_counts:
+        cfg = cfg.clone()
+        cfg.TEST.NUM_ENSEMBLE_VIEWS = num_view
+        results.append(_test_one(cfg))
+    for views, stats in zip(view_counts, results):
+        logger.info("Views %d: %s", views, stats)
+    return results
+
+
+def _test_one(cfg):
+    mesh = mesh_lib.create_mesh(cfg)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    from slowfast_tpu.models.build import init_model
+
+    variables = init_model(model, cfg, rng=rng, train=False)
+    tx, _ = construct_optimizer(variables["params"], cfg, 1)
+    state = create_train_state(cfg, model, tx, rng=rng)
+    state = cu.load_test_checkpoint(cfg, state)
+
+    test_loader = construct_loader(cfg, "test")
+    eval_fn = make_eval_step(cfg, model, mesh=mesh)
+
+    dataset = test_loader.dataset
+    num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    num_videos = dataset.num_videos // num_clips
+    assert dataset.num_videos % num_clips == 0, (
+        "total test videos must be divisible by views x crops"
+    )
+    test_meter = TestMeter(
+        num_videos,
+        num_clips,
+        cfg.MODEL.NUM_CLASSES,
+        len(test_loader),
+        multi_label=cfg.DATA.MULTI_LABEL,
+        ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+        output_dir=cfg.OUTPUT_DIR,
+    )
+    test_meter = perform_test(test_loader, state, eval_fn, test_meter, cfg)
+
+    if cfg.TEST.SAVE_RESULTS_PATH and mesh_lib.is_master_proc():
+        with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:
+            pickle.dump(
+                [test_meter.video_preds, test_meter.video_labels], f
+            )
+    return dict(test_meter.stats)

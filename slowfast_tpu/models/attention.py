@@ -147,13 +147,14 @@ class MultiScaleAttention(nn.Module):
     def _make_pool(self, kernel, stride, dim_conv, name):
         if self.mode not in ("conv", "conv_unshared") or not kernel:
             return None
-        return nn.Conv(
-            dim_conv,
-            kernel_size=tuple(kernel),
-            strides=tuple(stride),
-            padding=[(k // 2, k // 2) for k in kernel],
-            feature_group_count=dim_conv,
-            use_bias=False,
+        from .common import Conv3D
+
+        return Conv3D(
+            features=dim_conv,
+            kernel=tuple(kernel),
+            stride=tuple(stride),
+            padding=tuple(k // 2 for k in kernel),
+            groups=dim_conv,
             kernel_init=trunc02,
             dtype=self.dtype,
             name=name,

@@ -14,6 +14,54 @@ from flax import linen as nn
 msra_fill = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class Conv3D(nn.Module):
+    """3D conv on NTHWC inputs, dispatched to TPU-efficient formulations.
+
+    Stores its weight in the same logical layout as flax ``nn.Conv``
+    ((kt, kh, kw, Cin/groups, Cout), param name ``kernel``) so checkpoint
+    conversion is formulation-independent; the forward routes through
+    :mod:`slowfast_tpu.ops.video_conv` (2D folds / tap matmuls / T-folded
+    block-Toeplitz matmuls) instead of XLA's slow direct 3D conv path.
+    """
+
+    features: int
+    kernel: Sequence[int]
+    stride: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (0, 0, 0)
+    groups: int = 1
+    bias: bool = False
+    dilation: Sequence[int] = (1, 1, 1)
+    kernel_init: Callable = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from slowfast_tpu.ops.video_conv import video_conv
+
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            self.kernel_init or msra_fill,
+            tuple(self.kernel) + (cin // self.groups, self.features),
+            jnp.float32,
+        )
+        w = w.astype(x.dtype)
+        y = video_conv(
+            x,
+            w,
+            stride=tuple(self.stride),
+            padding=tuple(self.padding),
+            groups=self.groups,
+            dilation=tuple(self.dilation),
+        )
+        if self.bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(y.dtype)
+        return y
+
+
 def conv3d(
     features: int,
     kernel: Sequence[int],
@@ -23,30 +71,30 @@ def conv3d(
     bias: bool = False,
     dilation: Sequence[int] = (1, 1, 1),
     dtype: Any = None,
+    kernel_init: Callable = None,
     name: Optional[str] = None,
-) -> nn.Conv:
+) -> Conv3D:
     """A 3D conv on NTHWC inputs with torch-style symmetric integer padding."""
-    return nn.Conv(
+    return Conv3D(
         features=features,
-        kernel_size=tuple(kernel),
-        strides=tuple(stride),
-        padding=[(p, p) for p in padding],
-        feature_group_count=groups,
-        use_bias=bias,
-        kernel_dilation=tuple(dilation),
-        kernel_init=msra_fill,
+        kernel=tuple(kernel),
+        stride=tuple(stride),
+        padding=tuple(padding),
+        groups=groups,
+        bias=bias,
+        dilation=tuple(dilation),
+        kernel_init=kernel_init,
         dtype=dtype,
         name=name,
     )
 
 
 def max_pool3d(x, kernel, stride=None, padding=(0, 0, 0)):
-    """Torch-style MaxPool3d on NTHWC input."""
+    """Torch-style MaxPool3d on NTHWC input (small-C pools in folded layout)."""
+    from slowfast_tpu.ops.video_conv import max_pool3d_fast
+
     stride = stride or kernel
-    pad = [(p, p) for p in padding]
-    return nn.max_pool(
-        x, window_shape=tuple(kernel), strides=tuple(stride), padding=pad
-    )
+    return max_pool3d_fast(x, tuple(kernel), tuple(stride), tuple(padding))
 
 
 def avg_pool3d(x, kernel, stride=None, padding=(0, 0, 0)):
@@ -174,10 +222,8 @@ class SE(nn.Module):
     def __call__(self, x):
         dim_fc = self._round_width(self.dim_in, self.ratio)
         s = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        s = nn.Conv(dim_fc, (1, 1, 1), use_bias=True, kernel_init=msra_fill, name="fc1")(s)
+        s = conv3d(dim_fc, (1, 1, 1), bias=True, name="fc1")(s)
         s = nn.relu(s)
-        s = nn.Conv(
-            self.dim_in, (1, 1, 1), use_bias=True, kernel_init=msra_fill, name="fc2"
-        )(s)
+        s = conv3d(self.dim_in, (1, 1, 1), bias=True, name="fc2")(s)
         s = nn.sigmoid(s)
         return x * s

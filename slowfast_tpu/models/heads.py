@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slowfast_tpu.ops.roi_align import roi_align
-from .common import avg_pool3d, max_pool3d
+from .common import avg_pool3d, conv3d, max_pool3d
 
 
 def _head_act(act_func: str):
@@ -97,14 +97,7 @@ class X3DHead(nn.Module):
     def __call__(self, xs, train: bool = False):
         assert len(xs) == 1, "X3DHead is single-pathway"
         x = xs[0]
-        x = nn.Conv(
-            self.dim_inner,
-            (1, 1, 1),
-            use_bias=False,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            dtype=self.dtype,
-            name="conv_5",
-        )(x)
+        x = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="conv_5")(x)
         x = self.norm(self.dim_inner, name="conv_5_bn")(x, train=train)
         x = nn.relu(x)
 
@@ -113,14 +106,7 @@ class X3DHead(nn.Module):
         else:
             x = avg_pool3d(x, self.pool_size, (1, 1, 1))
 
-        x = nn.Conv(
-            self.dim_out,
-            (1, 1, 1),
-            use_bias=False,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            dtype=self.dtype,
-            name="lin_5",
-        )(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="lin_5")(x)
         if self.bn_lin5_on:
             x = self.norm(self.dim_out, name="lin_5_bn")(x, train=train)
         x = nn.relu(x)

@@ -149,12 +149,14 @@ class PatchEmbed(nn.Module):
             )(x)
             shape = x.shape[1:-1]  # (H', W')
         else:
-            x = nn.Conv(
-                self.dim_out,
-                kernel_size=tuple(self.kernel),
-                strides=tuple(self.stride),
-                padding=[(p, p) for p in self.padding],
-                use_bias=True,
+            from .common import Conv3D
+
+            x = Conv3D(
+                features=self.dim_out,
+                kernel=tuple(self.kernel),
+                stride=tuple(self.stride),
+                padding=tuple(self.padding),
+                bias=True,
                 kernel_init=nn.initializers.truncated_normal(0.02),
                 dtype=self.dtype,
                 name="proj",
