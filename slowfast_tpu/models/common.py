@@ -133,7 +133,8 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: int
-    act_layer: Callable = nn.gelu
+    # torch nn.GELU computes the exact erf form; flax defaults to tanh.
+    act_layer: Callable = staticmethod(lambda x: nn.gelu(x, approximate=False))
     drop_rate: float = 0.0
     bias_init: Callable = nn.initializers.zeros
     dtype: Any = None

@@ -28,12 +28,12 @@ class Nonlocal(nn.Module):
         B, T, H, W, C = x.shape
         use_pool = self.pool_size is not None and any(s > 1 for s in self.pool_size)
 
-        theta = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="conv_theta")(x)
+        theta = conv3d(self.dim_inner, (1, 1, 1), bias=True, dtype=self.dtype, name="conv_theta")(x)
         kv_in = x
         if use_pool:
             kv_in = max_pool3d(x, self.pool_size, self.pool_size)
-        phi = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="conv_phi")(kv_in)
-        g = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="conv_g")(kv_in)
+        phi = conv3d(self.dim_inner, (1, 1, 1), bias=True, dtype=self.dtype, name="conv_phi")(kv_in)
+        g = conv3d(self.dim_inner, (1, 1, 1), bias=True, dtype=self.dtype, name="conv_g")(kv_in)
 
         n_q = T * H * W
         theta = theta.reshape(B, n_q, self.dim_inner)
@@ -58,7 +58,7 @@ class Nonlocal(nn.Module):
             "bqk,bkc->bqc", aff.astype(g.dtype), g, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.reshape(B, T, H, W, self.dim_inner)
-        out = conv3d(self.dim, (1, 1, 1), dtype=self.dtype, name="conv_out")(out)
+        out = conv3d(self.dim, (1, 1, 1), bias=True, dtype=self.dtype, name="conv_out")(out)
         out = self.norm(self.dim, zero_init_gamma=self.zero_init_final_norm, name="bn")(
             out, train=train
         )

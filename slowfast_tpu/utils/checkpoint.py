@@ -185,7 +185,7 @@ def load_torch_checkpoint(path, variables, inflate=False, strict=False):
             unexpected.append(tname)
             continue
         target = flat[col][hit]
-        val = _convert_weight(val, target.shape, inflate)
+        val = _convert_weight(val, target.shape, inflate, is_kernel=hit[-1] == "kernel")
         if val is None:
             unexpected.append(f"{tname} (shape mismatch)")
             continue
@@ -217,11 +217,16 @@ def _candidate_keys(mods, leaf):
     return [mods + (leaf,), tuple(mods[:-1]) + (mods[-1] + "_" + leaf,) if mods else (leaf,)]
 
 
-def _convert_weight(val, target_shape, inflate):
-    """Transpose torch layouts to flax and optionally inflate 2D->3D."""
+def _convert_weight(val, target_shape, inflate, is_kernel=True):
+    """Transpose torch layouts to flax and optionally inflate 2D->3D.
+
+    ``is_kernel`` distinguishes conv/linear weights (which always transpose,
+    including square matrices) from direct-copy tables (rel_pos, pos_embed,
+    LN scales).
+    """
     ts = tuple(target_shape)
-    if val.shape == ts:
-        return val
+    if not is_kernel:
+        return val if val.shape == ts else None
     # Conv3d: torch (O, I, t, h, w) -> flax (t, h, w, I, O)
     if val.ndim == 5:
         cand = val.transpose(2, 3, 4, 1, 0)
@@ -233,7 +238,7 @@ def _convert_weight(val, target_shape, inflate):
         if cand.shape == ts:
             return cand
         if len(ts) == 5 and inflate:
-            cand = inflate_weight(cand[None], ts[0])
+            cand = inflate_weight(val.transpose(2, 3, 1, 0)[None], ts[0])
             if cand.shape == ts:
                 return cand
     # Linear: torch (O, I) -> flax (I, O)
@@ -241,8 +246,6 @@ def _convert_weight(val, target_shape, inflate):
         cand = val.T
         if cand.shape == ts:
             return cand
-        if val.shape == ts:
-            return val
     if val.ndim == 1 and val.shape == ts:
         return val
     # pos-embed length mismatch etc. handled by surgery elsewhere
