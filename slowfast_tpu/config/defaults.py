@@ -582,6 +582,8 @@ _C.TPU = CfgNode(
         DONATE=True,
         # Use jax.checkpoint (remat) on heavy stages when ACT_CHECKPOINT.
         REMAT_POLICY="nothing_saveable",
+        # Debug: return early after this stage name (e.g. "s2"); "" = off.
+        TRUNCATE_AT="",
     )
 )
 

@@ -19,6 +19,7 @@ import numpy as np
 from .build import build_dataset
 
 # Import to register datasets.
+from . import ava_dataset  # noqa: F401
 from . import kinetics  # noqa: F401
 
 

@@ -14,7 +14,7 @@ from slowfast_tpu.parallel import mesh as mesh_lib
 from slowfast_tpu.solver.optimizer import construct_optimizer
 from slowfast_tpu.utils import checkpoint as cu
 from slowfast_tpu.utils import logging as logging_utils
-from slowfast_tpu.utils.meters import TestMeter
+from slowfast_tpu.utils.meters import AVAMeter, TestMeter
 
 logger = logging_utils.get_logger(__name__)
 
@@ -69,6 +69,27 @@ def _test_one(cfg):
 
     test_loader = construct_loader(cfg, "test")
     eval_fn = make_eval_step(cfg, model, mesh=mesh)
+
+    if cfg.DETECTION.ENABLE:
+        meter = AVAMeter(len(test_loader), cfg, mode="test")
+        if hasattr(test_loader.dataset, "_video_idx_to_name"):
+            meter.set_video_idx_to_name(test_loader.dataset._video_idx_to_name)
+        meter.iter_tic()
+        for cur_iter, (inputs, labels, video_idx, times, meta) in enumerate(
+            test_loader
+        ):
+            batch = {
+                "inputs": [jnp.asarray(x) for x in inputs],
+                "labels": jnp.asarray(labels),
+                "boxes": jnp.asarray(meta["boxes"]),
+            }
+            preds = np.asarray(eval_fn(state, batch))
+            meter.iter_toc()
+            meter.update_stats(preds, meta["ori_boxes"], meta["metadata"])
+            meter.log_iter_stats(None, cur_iter)
+            meter.iter_tic()
+        full_map = meter.finalize_metrics()
+        return {"map": full_map}
 
     dataset = test_loader.dataset
     num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS

@@ -25,7 +25,7 @@ from slowfast_tpu.solver.optimizer import construct_optimizer
 from slowfast_tpu.utils import checkpoint as cu
 from slowfast_tpu.utils import logging as logging_utils
 from slowfast_tpu.utils import metrics
-from slowfast_tpu.utils.meters import EpochTimer, TrainMeter, ValMeter
+from slowfast_tpu.utils.meters import AVAMeter, EpochTimer, TrainMeter, ValMeter
 
 logger = logging_utils.get_logger(__name__)
 
@@ -73,7 +73,9 @@ def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg):
         preds = eval_fn(state, batch)
         preds = np.asarray(preds)
         labels_np = np.asarray(labels)
-        if cfg.DATA.MULTI_LABEL:
+        if cfg.DETECTION.ENABLE:
+            meter.update_stats(preds, meta["ori_boxes"], meta["metadata"])
+        elif cfg.DATA.MULTI_LABEL:
             meter.update_predictions(preds, labels_np)
         else:
             k1, k5 = metrics.topks_correct(
@@ -122,8 +124,14 @@ def train(cfg):
     step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE)
     eval_fn = make_eval_step(cfg, model, mesh=mesh)
 
-    train_meter = TrainMeter(steps_per_epoch, cfg)
-    val_meter = ValMeter(len(val_loader), cfg)
+    if cfg.DETECTION.ENABLE:
+        train_meter = TrainMeter(steps_per_epoch, cfg)
+        val_meter = AVAMeter(len(val_loader), cfg, mode="val")
+        if hasattr(val_loader.dataset, "_video_idx_to_name"):
+            val_meter.set_video_idx_to_name(val_loader.dataset._video_idx_to_name)
+    else:
+        train_meter = TrainMeter(steps_per_epoch, cfg)
+        val_meter = ValMeter(len(val_loader), cfg)
     epoch_timer = EpochTimer()
 
     logger.info("Start epoch: %d", start_epoch + 1)

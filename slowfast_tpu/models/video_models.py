@@ -113,6 +113,8 @@ class SlowFast(nn.Module):
         tk = TEMPORAL_KERNEL_BASIS[cfg.MODEL.ARCH]
         zero_bn = cfg.RESNET.ZERO_INIT_FINAL_BN
 
+        trunc = cfg.TPU.TRUNCATE_AT
+
         xs = [x.astype(dtype) for x in xs]
         xs = VideoModelStem(
             dim_out=[w, w // beta_inv],
@@ -132,6 +134,8 @@ class SlowFast(nn.Module):
             dtype=dtype,
             name="s1_fuse",
         )(xs, train=train)
+        if trunc == "s1":
+            return xs
 
         # Per-stage channel schedule (reference :246-367): slow input includes
         # the fused fast channels; fast channels are slow/beta_inv throughout.
@@ -201,6 +205,8 @@ class SlowFast(nn.Module):
                     else x
                     for p, x in enumerate(xs)
                 ]
+            if trunc == f"s{i + 2}":
+                return xs
 
         head_dim_in = [w * 32, w * 32 // beta_inv]
         if cfg.DETECTION.ENABLE:

@@ -411,3 +411,119 @@ class EpochTimer:
 
     def median_epoch_time(self):
         return float(np.median(self.epoch_times))
+
+
+class AVAMeter:
+    """Detection meter collecting all preds/boxes/metadata for AVA mAP
+    (reference meters.py:46-238)."""
+
+    def __init__(self, overall_iters, cfg, mode):
+        self.cfg = cfg
+        self.lr = None
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.mode = mode
+        self.iter_timer = Timer()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+        self.overall_iters = overall_iters
+        self.excluded_keys = None
+        self.categories = None
+        self.class_whitelist = None
+        self.video_idx_to_name = None
+        self.groundtruth = None
+        self.full_map = 0.0
+        self.output_dir = cfg.OUTPUT_DIR
+        self._load_eval_assets()
+
+    def _load_eval_assets(self):
+        import os
+
+        from . import ava_eval
+
+        cfg = self.cfg
+        if self.mode == "train":
+            return
+        label_map = os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.LABEL_MAP_FILE)
+        exclusions = os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.EXCLUSION_FILE)
+        gt_file = os.path.join(cfg.AVA.ANNOTATION_DIR, cfg.AVA.GROUNDTRUTH_FILE)
+        if not os.path.exists(label_map):
+            return
+        self.categories, self.class_whitelist = ava_eval.read_label_map(label_map)
+        self.excluded_keys = ava_eval.read_exclusions(
+            exclusions if os.path.exists(exclusions) else None
+        ) if os.path.exists(exclusions) else set()
+        if os.path.exists(gt_file):
+            self.groundtruth = ava_eval.read_csv(gt_file, self.class_whitelist)
+
+    def set_video_idx_to_name(self, names):
+        self.video_idx_to_name = names
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def reset(self):
+        self.loss.reset()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+
+    def update_stats(self, preds, ori_boxes, metadata, loss=None, lr=None):
+        if self.mode in ("val", "test"):
+            self.all_preds.append(np.asarray(preds))
+            self.all_ori_boxes.append(np.asarray(ori_boxes))
+            self.all_metadata.append(np.asarray(metadata))
+        if loss is not None:
+            self.loss.add_value(loss)
+        if lr is not None:
+            self.lr = lr
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        stats = {
+            "_type": f"{self.mode}_iter",
+            "cur_epoch": (cur_epoch + 1) if cur_epoch is not None else None,
+            "cur_iter": cur_iter + 1,
+            "time_diff": self.iter_timer.seconds(),
+            "mode": self.mode,
+        }
+        if self.mode == "train":
+            stats["loss"] = self.loss.get_win_median()
+            stats["lr"] = self.lr
+        log_json_stats(stats, self.output_dir)
+
+    def finalize_metrics(self, log=True):
+        from . import ava_eval
+
+        all_preds = np.concatenate(self.all_preds, axis=0)
+        all_boxes = np.concatenate(self.all_ori_boxes, axis=0)
+        all_meta = np.concatenate(self.all_metadata, axis=0)
+        self.full_map = ava_eval.evaluate_ava(
+            all_preds,
+            all_boxes,
+            all_meta,
+            self.excluded_keys or set(),
+            self.class_whitelist or set(range(1, all_preds.shape[1] + 1)),
+            self.categories or [],
+            groundtruth=self.groundtruth,
+            video_idx_to_name=self.video_idx_to_name,
+        )
+        if log:
+            log_json_stats({"mode": self.mode, "map": self.full_map}, self.output_dir)
+        return self.full_map
+
+    def log_epoch_stats(self, cur_epoch):
+        if self.mode in ("val", "test"):
+            self.finalize_metrics(log=False)
+            stats = {
+                "_type": f"{self.mode}_epoch",
+                "cur_epoch": cur_epoch + 1,
+                "mode": self.mode,
+                "map": self.full_map,
+            }
+            log_json_stats(stats, self.output_dir)
+            return stats
