@@ -161,7 +161,11 @@ class MultiScaleAttention(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, thw_shape, deterministic: bool = True):
+    def __call__(self, x, thw_shape, deterministic: bool = True, res_input=None):
+        """res_input: optional tensor to pool with the shared Q-pool conv
+        (Rev-MViT StageTransitionBlock residual path, reference
+        reversible_mvit.py:352-366). When given, returns
+        (out, q_shape, pooled_res)."""
         B, N, _ = x.shape
         head_dim = self.dim_out // self.num_heads
         scale = head_dim ** -0.5
@@ -181,6 +185,12 @@ class MultiScaleAttention(nn.Module):
         pool_q = self._make_pool(kq, self.stride_q, dim_conv, "pool_q")
         pool_k = self._make_pool(kkv, self.stride_kv, dim_conv, "pool_k")
         pool_v = self._make_pool(kkv, self.stride_kv, dim_conv, "pool_v")
+        conv_mode = self.mode in ("conv", "conv_unshared")
+        norm_q = (
+            nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_q")
+            if conv_mode and kq
+            else None
+        )
 
         dense = lambda feats, name: nn.Dense(
             feats,
@@ -220,9 +230,9 @@ class MultiScaleAttention(nn.Module):
         v, v_shape = _pool_tokens(
             v, thw_shape, kkv, self.stride_kv, self.mode, self.has_cls_embed, pool_v
         )
-        if self.mode in ("conv", "conv_unshared"):
-            if kq:
-                q = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_q")(q)
+        if conv_mode:
+            if norm_q is not None:
+                q = norm_q(q)
             if kkv:
                 k = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_k")(k)
                 v = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_v")(v)
@@ -286,6 +296,21 @@ class MultiScaleAttention(nn.Module):
         )(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        if res_input is not None:
+            # Pool the residual with the SAME conv + norm as Q (weight
+            # sharing with pool_q/norm_q, reference reversible_mvit.py:352).
+            fold = self.num_heads if self.mode == "conv" else 1
+            Br, Nr, Cr = res_input.shape
+            r = res_input.reshape(Br, Nr, fold, Cr // fold).transpose(0, 2, 1, 3)
+            r, _ = _pool_tokens(
+                r, thw_shape, kq, self.stride_q, self.mode, self.has_cls_embed,
+                pool_q,
+            )
+            if norm_q is not None:
+                r = norm_q(r)
+            r = r.transpose(0, 2, 1, 3).reshape(Br, r.shape[2], Cr)
+            return x, q_shape, r
         return x, q_shape
 
 

@@ -206,3 +206,32 @@ def test_mvit_v1_parity():
     cfg = _my_cfg(overrides)
     x = np.random.RandomState(0).randn(2, 8, 32, 32, 3).astype(np.float32)
     _compare(ref_model, cfg, [x], atol=5e-4)
+
+
+def test_rev_mvit_parity():
+    overrides = [
+        "MODEL.MODEL_NAME", "MViT", "MODEL.ARCH", "mvit",
+        "MODEL.NUM_CLASSES", "16",
+        "MVIT.EMBED_DIM", "32", "MVIT.NUM_HEADS", "1", "MVIT.DEPTH", "4",
+        "MVIT.PATCH_KERNEL", "[3,7,7]", "MVIT.PATCH_STRIDE", "[2,4,4]",
+        "MVIT.PATCH_PADDING", "[1,3,3]",
+        "MVIT.DIM_MUL", "[[1,2.0]]", "MVIT.HEAD_MUL", "[[1,2.0]]",
+        "MVIT.POOL_Q_STRIDE", "[[1,1,2,2]]",
+        "MVIT.POOL_KVQ_KERNEL", "[3,3,3]",
+        "MVIT.POOL_KV_STRIDE_ADAPTIVE", "[1,4,4]",
+        "MVIT.MODE", "conv", "MVIT.CLS_EMBED_ON", "False",
+        "MVIT.SEP_POS_EMBED", "False", "MVIT.USE_ABS_POS", "False",
+        "MVIT.RESIDUAL_POOLING", "True", "MVIT.DIM_MUL_IN_ATT", "True",
+        "MVIT.USE_MEAN_POOLING", "True", "MVIT.DROPPATH_RATE", "0.0",
+        "MVIT.ZERO_DECAY_POS_CLS", "False",
+        "MVIT.REV.ENABLE", "True", "MVIT.REV.BUFFER_LAYERS", "[1]",
+        "MVIT.REV.RESPATH_FUSE", "concat", "MVIT.REV.PRE_Q_FUSION", "avg",
+        "MVIT.REV.RES_PATH", "conv",
+        "DATA.NUM_FRAMES", "8", "DATA.TRAIN_CROP_SIZE", "32",
+        "DATA.TEST_CROP_SIZE", "32",
+        "DATA.INPUT_CHANNEL_NUM", "[3]", "MODEL.DROPOUT_RATE", "0.0",
+    ]
+    ref_model, _ = _ref_model(overrides)
+    cfg = _my_cfg(overrides)
+    x = np.random.RandomState(0).randn(2, 8, 32, 32, 3).astype(np.float32)
+    _compare(ref_model, cfg, [x], atol=5e-4)
