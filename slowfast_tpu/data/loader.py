@@ -20,7 +20,10 @@ from .build import build_dataset
 
 # Import to register datasets.
 from . import ava_dataset  # noqa: F401
+from . import charades  # noqa: F401
+from . import imagenet  # noqa: F401
 from . import kinetics  # noqa: F401
+from . import ssv2  # noqa: F401
 
 
 def detection_collate(samples):

@@ -105,6 +105,16 @@ def train(cfg):
     np.random.seed(cfg.RNG_SEED)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
+    # Multigrid schedule setup (reference train_net.py:510-515).
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        from slowfast_tpu.utils.multigrid import MultigridSchedule
+
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            cfg, _ = multigrid.update_long_cycle(cfg, cur_epoch=0)
+
     mesh = mesh_lib.create_mesh(cfg)
     model = build_model(cfg)
 
@@ -136,6 +146,22 @@ def train(cfg):
 
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                # Rebuild loaders + jitted steps for the new (B,T,S) bucket
+                # (reference build_trainer, train_net.py:627-649). Model
+                # params are shape-independent and carry over.
+                model = build_model(cfg)
+                train_loader = construct_loader(cfg, "train")
+                val_loader = construct_loader(cfg, "val")
+                steps_per_epoch = max(len(train_loader), 1)
+                step_fn = make_train_step(
+                    cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE
+                )
+                eval_fn = make_eval_step(cfg, model, mesh=mesh)
+                train_meter = TrainMeter(steps_per_epoch, cfg)
+                val_meter = ValMeter(len(val_loader), cfg)
         shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()
         state = train_epoch(
