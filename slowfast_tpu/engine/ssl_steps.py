@@ -1,0 +1,241 @@
+"""Jitted SSL train steps: MoCo / BYOL / SimCLR / SwAV / instance memory.
+
+Reference flow: slowfast/models/contrastive.py:358-757 +
+train_net.py contrastive hooks (:118-126, contrastive_forward,
+contrastive_parameter_surgery). Each step consumes a two-view batch
+{"inputs": view1 pathways, "inputs2": view2 pathways, "index": video ids}
+and threads the SSL state (EMA params, queue, memory) functionally.
+
+Under GSPMD the reference's cross-GPU machinery collapses:
+  * DDP allreduce -> automatic on the sharded batch;
+  * cat_all_gather of keys -> keys are already global inside jit, so the
+    queue/memory updates see the full global batch;
+  * shuffle-BN -> unnecessary (global-batch BN statistics).
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from slowfast_tpu.models.contrastive import (
+    ContrastiveModel,
+    dequeue_and_enqueue,
+    init_ssl_state,
+    l2_normalize,
+    memory_update,
+    momentum_update,
+    sinkhorn,
+)
+from slowfast_tpu.solver.losses import contrastive_loss
+from slowfast_tpu.solver.optimizer import get_grad_norm
+
+
+class SSLTrainState(struct.PyTreeNode):
+    step: Any
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ssl_state: Any
+
+
+def create_ssl_train_state(cfg, model, tx, rng=None):
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.RNG_SEED)
+    inputs = dummy_inputs(cfg, batch_size=2)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, inputs, train=True
+    )
+    params = variables["params"]
+    ssl_state = init_ssl_state(cfg, params, jax.random.fold_in(rng, 2))
+    return SSLTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ssl_state=ssl_state,
+    )
+
+
+def _momentum(cfg, step, steps_per_epoch):
+    """Momentum annealing (reference :126-151): cosine anneal to 1.0."""
+    base = cfg.CONTRASTIVE.MOMENTUM
+    if not cfg.CONTRASTIVE.MOMENTUM_ANNEALING:
+        return jnp.asarray(base, jnp.float32)
+    epoch_exact = step / steps_per_epoch
+    return (
+        1.0
+        - (1.0 - base)
+        * (jnp.cos(jnp.pi * epoch_exact / cfg.SOLVER.MAX_EPOCH) + 1.0)
+        * 0.5
+    )
+
+
+def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
+                        steps_per_epoch=1000, donate=True):
+    ssl_type = cfg.CONTRASTIVE.TYPE
+    T = cfg.CONTRASTIVE.T
+
+    def encode(params, batch_stats, xs, rng, train=True, use_predictor=False):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables,
+            xs,
+            train=train,
+            use_predictor=use_predictor,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return out, mutated["batch_stats"]
+
+    def encode_frozen(params, batch_stats, xs):
+        """Key encoder: frozen stats, no dropout (reference eval-mode keys)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(
+            variables, xs, train=False, method=ContrastiveModel.encode
+        )
+
+    def step_fn(state: SSLTrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        r1, r2 = jax.random.split(rng)
+        ssl = dict(state.ssl_state)
+        index = batch.get("index")
+        mmt = _momentum(cfg, state.step, steps_per_epoch)
+
+        if ssl_type == "moco":
+            keys = encode_frozen(
+                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs2"]
+            )
+            keys = jax.lax.stop_gradient(keys)
+
+            def loss_fn(params):
+                q, new_stats = encode(params, state.batch_stats, batch["inputs"], r1)
+                q = l2_normalize(q)
+                pos = jnp.einsum("bc,bc->b", q, keys)[:, None]
+                neg = q @ ssl["queue_x"].T.astype(q.dtype)
+                logits = jnp.concatenate([pos, neg], axis=1) / T
+                return contrastive_loss(logits), (new_stats, q)
+
+        elif ssl_type == "byol":
+            keys = encode_frozen(
+                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs2"]
+            )
+            keys2 = encode_frozen(
+                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs"]
+            )
+            keys, keys2 = jax.lax.stop_gradient((keys, keys2))
+
+            def loss_fn(params):
+                q1, stats1 = encode(
+                    params, state.batch_stats, batch["inputs"], r1,
+                    use_predictor=True,
+                )
+                q2, stats2 = encode(
+                    params, stats1, batch["inputs2"], r2, use_predictor=True
+                )
+                # Symmetric similarity loss (reference sim_loss :237-245).
+                loss = (
+                    2.0
+                    - 2.0 * jnp.mean(jnp.sum(q1 * keys, axis=-1))
+                    + 2.0
+                    - 2.0 * jnp.mean(jnp.sum(q2 * keys2, axis=-1))
+                ) * 0.5
+                return loss, (stats2, q1)
+
+        elif ssl_type == "simclr":
+            def loss_fn(params):
+                q1, stats1 = encode(params, state.batch_stats, batch["inputs"], r1)
+                q2, stats2 = encode(params, stats1, batch["inputs2"], r2)
+                # NT-Xent over the global batch (inside jit the batch IS
+                # global; reference gathers across GPUs, :758-799).
+                B = q1.shape[0]
+                z = jnp.concatenate([q1, q2], axis=0)
+                sim = (z @ z.T) / T
+                mask = jnp.eye(2 * B, dtype=bool)
+                sim = jnp.where(mask, -1e9, sim)
+                pos_idx = jnp.concatenate(
+                    [jnp.arange(B) + B, jnp.arange(B)], axis=0
+                )
+                logp = jax.nn.log_softmax(sim, axis=1)
+                loss = -jnp.mean(logp[jnp.arange(2 * B), pos_idx])
+                return loss, (stats2, q1)
+
+        elif ssl_type == "swav":
+            def loss_fn(params):
+                q1, stats1 = encode(params, state.batch_stats, batch["inputs"], r1)
+                q2, stats2 = encode(params, stats1, batch["inputs2"], r2)
+                variables = {"params": params}
+                s1 = model.apply(variables, q1, method=ContrastiveModel.prototypes)
+                s2 = model.apply(variables, q2, method=ContrastiveModel.prototypes)
+                code1 = jax.lax.stop_gradient(sinkhorn(s1.astype(jnp.float32)))
+                code2 = jax.lax.stop_gradient(sinkhorn(s2.astype(jnp.float32)))
+                p1 = jax.nn.log_softmax(s1.astype(jnp.float32) / 0.1, axis=1)
+                p2 = jax.nn.log_softmax(s2.astype(jnp.float32) / 0.1, axis=1)
+                loss = -0.5 * (
+                    jnp.mean(jnp.sum(code2 * p1, axis=1))
+                    + jnp.mean(jnp.sum(code1 * p2, axis=1))
+                )
+                return loss, (stats2, q1)
+
+        elif ssl_type == "mem":
+            def loss_fn(params):
+                q, new_stats = encode(params, state.batch_stats, batch["inputs"], r1)
+                # Full-bank InstDisc: CE against own memory row. The
+                # reference samples NCE negatives from the bank
+                # (Memory1D); the full softmax is the exact (non-sampled)
+                # form of the same objective and is cheap on the MXU.
+                logits = (q @ ssl["memory"].T.astype(q.dtype)) / T
+                loss = -jnp.mean(
+                    jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[
+                        jnp.arange(q.shape[0]), index
+                    ]
+                )
+                return loss, (new_stats, q)
+
+        else:
+            raise NotImplementedError(f"CONTRASTIVE.TYPE {ssl_type}")
+
+        (loss, (new_stats, q)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grad_norm = get_grad_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+
+        # SSL state updates (reference contrastive_parameter_surgery + hooks).
+        if ssl_type in ("moco", "byol"):
+            ssl["hist_params"] = momentum_update(
+                ssl["hist_params"], new_params["backbone"], mmt
+            )
+        if ssl_type == "moco":
+            ssl["queue_x"], ssl["ptr"] = dequeue_and_enqueue(
+                ssl["queue_x"], ssl["ptr"], keys
+            )
+        if ssl_type == "mem" and index is not None:
+            ssl["memory"] = memory_update(
+                ssl["memory"], index, jax.lax.stop_gradient(q), 0.5
+            )
+        if "memory" in ssl and ssl_type != "mem" and index is not None:
+            # kNN memory (reference knn_mem_update :126-134).
+            ssl["memory"] = memory_update(
+                ssl["memory"], index, jax.lax.stop_gradient(q), 1.0 - mmt
+            )
+        ssl["iter"] = ssl["iter"] + 1
+
+        new_state = SSLTrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ssl_state=ssl,
+        )
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    if mesh is not None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -39,6 +39,10 @@ class ResNetBasicHead(nn.Module):
     dropout_rate: float = 0.0
     act_func: str = "softmax"
     detach_final_fc: bool = False
+    # Contrastive MLP projection (reference head_helper.py:262-276).
+    mlp_layers: int = 1
+    mlp_dim: int = 2048
+    bn_mlp: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -58,13 +62,23 @@ class ResNetBasicHead(nn.Module):
         if self.detach_final_fc:
             x = jax.lax.stop_gradient(x)
 
-        x = nn.Dense(
-            self.num_classes,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.01),
-            bias_init=nn.initializers.zeros,
-            name="projection",
-        )(x)
+        if self.mlp_layers > 1:
+            x = MLPHead(
+                dim_out=self.num_classes,
+                mlp_dim=self.mlp_dim,
+                num_layers=self.mlp_layers,
+                bn_on=self.bn_mlp,
+                dtype=self.dtype,
+                name="projection",
+            )(x, train=train)
+        else:
+            x = nn.Dense(
+                self.num_classes,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.01),
+                bias_init=nn.initializers.zeros,
+                name="projection",
+            )(x)
 
         if not train:
             act = _head_act(self.act_func)

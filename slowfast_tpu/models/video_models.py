@@ -250,6 +250,9 @@ class SlowFast(nn.Module):
             dropout_rate=cfg.MODEL.DROPOUT_RATE,
             act_func=cfg.MODEL.HEAD_ACT,
             detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
+            mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+            mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+            bn_mlp=cfg.CONTRASTIVE.BN_MLP,
             dtype=dtype,
             name="head",
         )(xs, train=train)
@@ -350,6 +353,9 @@ class ResNet(nn.Module):
             dropout_rate=cfg.MODEL.DROPOUT_RATE,
             act_func=cfg.MODEL.HEAD_ACT,
             detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
+            mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+            mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+            bn_mlp=cfg.CONTRASTIVE.BN_MLP,
             dtype=dtype,
             name="head",
         )(xs, train=train)

@@ -131,6 +131,7 @@ def _torch_name_to_flax_path(name: str):
     # blocks.5.xxx -> blocks_5.xxx (MViT); predictors/projection handled as-is
     name = re.sub(r"\bblocks\.(\d+)\.", r"blocks_\1.", name)
     name = re.sub(r"\blayers\.(\d+)\.", r"layers_\1.", name)
+    name = re.sub(r"\bprojection\.(\d+)\.", r"projection_\1.", name)
     parts = name.split(".")
     leaf = parts[-1]
     mods = parts[:-1]

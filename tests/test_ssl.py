@@ -1,0 +1,85 @@
+"""SSL (contrastive) train-step tests on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slowfast_tpu.config import get_cfg
+from slowfast_tpu.engine.ssl_steps import (
+    create_ssl_train_state,
+    make_ssl_train_step,
+)
+from slowfast_tpu.models import build_model
+from slowfast_tpu.solver.optimizer import construct_optimizer
+
+
+def _ssl_cfg(ssl_type):
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "c2d"
+    cfg.MODEL.NUM_CLASSES = 32
+    cfg.MODEL.LOSS_FUNC = "contrastive_loss"
+    cfg.MODEL.HEAD_ACT = "none"
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2], [2], [2], [2]]
+    cfg.CONTRASTIVE.TYPE = ssl_type
+    cfg.CONTRASTIVE.DIM = 32
+    cfg.CONTRASTIVE.QUEUE_LEN = 64
+    cfg.CONTRASTIVE.LENGTH = 50
+    cfg.CONTRASTIVE.NUM_MLP_LAYERS = 2
+    cfg.CONTRASTIVE.MLP_DIM = 64
+    if ssl_type == "byol":
+        cfg.CONTRASTIVE.PREDICTOR_DEPTHS = [2]
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.NUM_GPUS = 1
+    return cfg
+
+
+def _batch(cfg, b=4):
+    rng = np.random.RandomState(0)
+    t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE
+    return {
+        "inputs": [jnp.asarray(rng.randn(b, t, s, s, 3), jnp.float32)],
+        "inputs2": [jnp.asarray(rng.randn(b, t, s, s, 3), jnp.float32)],
+        "index": jnp.arange(b, dtype=jnp.int32),
+    }
+
+
+@pytest.mark.parametrize("ssl_type", ["moco", "byol", "simclr", "swav", "mem"])
+def test_ssl_step_runs(ssl_type):
+    cfg = _ssl_cfg(ssl_type)
+    model = build_model(cfg)
+    state = create_ssl_train_state(cfg, model, tx=None) if False else None
+    # two-phase init for optimizer partitioning
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10, donate=False)
+    batch = _batch(cfg)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert int(state.step) == 3
+    if ssl_type == "moco":
+        # queue pointer advanced by 3 batches of 4 keys
+        assert int(state.ssl_state["ptr"]) == 12
+    if ssl_type in ("moco", "byol"):
+        # EMA params moved toward online params but are not equal
+        h = jax.tree.leaves(state.ssl_state["hist_params"])[0]
+        p = jax.tree.leaves(state.params["backbone"])[0]
+        assert not np.allclose(np.asarray(h), np.asarray(p))
