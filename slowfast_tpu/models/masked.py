@@ -1,0 +1,357 @@
+"""Masked pretraining: MaskFeat and MAE on the MViT trunk.
+
+Reference: slowfast/models/masked.py:24-622. Returns (preds, labels) pairs;
+the train step computes the configured loss against the generated targets.
+
+TPU notes: masked-position selection is expressed as mask-weighted losses
+(MaskFeat) or static-size gathers from an argsorted noise permutation
+(MAE random masking) — both fully static-shaped for XLA.
+"""
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from slowfast_tpu.ops.hog import hog_features
+from .attention import MultiScaleBlock, bias02, trunc02
+from .mvit import MViT, get_3d_sincos_pos_embed, mvit_block_schedule
+from .stem import PatchEmbed
+from .video_models import compute_dtype
+
+
+class MSSeparateHead(nn.Module):
+    """Per-depth prediction head: LN -> Linear (+ optional transformer
+    blocks when DECODER_DEPTH > 0). Reference head_helper.py:566-672."""
+
+    num_classes: Any  # list per depth
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats):
+        outs = []
+        for i, x in enumerate(feats):
+            x = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name=f"projections_{i}_norm")(x)
+            x = nn.Dense(
+                self.num_classes[i],
+                kernel_init=trunc02,
+                bias_init=bias02,
+                dtype=self.dtype,
+                name=f"projections_{i}_proj",
+            )(x)
+            outs.append(x)
+        return outs
+
+
+class MaskMViT(nn.Module):
+    """MaskFeat / MAE pretraining model."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, xs, mask=None, train: bool = False):
+        cfg = self.cfg
+        dtype = compute_dtype(cfg)
+        x_raw = xs[0]
+        B = x_raw.shape[0]
+
+        patch_stride = list(cfg.MVIT.PATCH_STRIDE)
+        T0 = cfg.DATA.NUM_FRAMES // patch_stride[0]
+        H0 = cfg.DATA.TRAIN_CROP_SIZE // patch_stride[1]
+        W0 = cfg.DATA.TRAIN_CROP_SIZE // patch_stride[2]
+        num_patches = T0 * H0 * W0
+        embed_dim = cfg.MVIT.EMBED_DIM
+        depth_keep = cfg.MASK.PRETRAIN_DEPTH[-1] + 1
+
+        x = x_raw.astype(dtype)
+        tokens, thw = PatchEmbed(
+            dim_out=embed_dim,
+            kernel=cfg.MVIT.PATCH_KERNEL,
+            stride=cfg.MVIT.PATCH_STRIDE,
+            padding=cfg.MVIT.PATCH_PADDING,
+            dtype=dtype,
+            name="patch_embed",
+        )(x)
+        thw = list(thw)
+
+        if cfg.MASK.MAE_ON:
+            return self._mae_forward(tokens, thw, x_raw, train)
+        return self._maskfeat_forward(tokens, thw, x_raw, mask, train)
+
+    # ------------------------------------------------------------------
+    # MaskFeat (reference :519-613)
+    # ------------------------------------------------------------------
+
+    def _maskfeat_forward(self, tokens, thw, x_raw, mask, train):
+        cfg = self.cfg
+        dtype = compute_dtype(cfg)
+        B, N, C = tokens.shape
+        T0, H0, W0 = thw
+
+        # mask: (B, t, h, w) boolean at MASK_WINDOW_SIZE granularity;
+        # upsample to token granularity (reference float-mask interpolation).
+        assert mask is not None, "MaskFeat requires a loader-generated mask"
+        mask = mask.astype(jnp.float32)
+        if mask.ndim == 3:  # (B, h, w) 2D masking -> broadcast over T
+            mask = jnp.broadcast_to(mask[:, None], (B, T0) + mask.shape[1:])
+        mt, mh, mw = mask.shape[1:]
+        rt, rh, rw = T0 // mt, H0 // mh, W0 // mw
+        mask_tok = jnp.repeat(jnp.repeat(jnp.repeat(mask, rt, 1), rh, 2), rw, 3)
+        mask_flat = mask_tok.reshape(B, N, 1)
+
+        mask_token = self.param("mask_token", trunc02, (1, 1, C), jnp.float32)
+        tokens = tokens * (1.0 - mask_flat).astype(dtype) + (
+            mask_token.astype(dtype) * mask_flat.astype(dtype)
+        )
+
+        x = self._add_pos(tokens, B)
+        x, feats = self._trunk(x, [T0, H0, W0], train)
+
+        # Targets: HOG (or raw pixels) of the input frames per feature cell.
+        preds_labels = []
+        nbins, cell_sz = 9, 8
+        sched = mvit_block_schedule(cfg)
+        for d_i, depth in enumerate(cfg.MASK.PRETRAIN_DEPTH):
+            feat = feats[d_i]  # (B, N_d, C_d) tokens at that depth
+            # Feature geometry at this depth.
+            stride_acc = [1, 1, 1]
+            for i in range(depth + 1):
+                if sched[i]["stride_q"]:
+                    stride_acc = [
+                        a * s for a, s in zip(stride_acc, sched[i]["stride_q"])
+                    ]
+            t_d, h_d, w_d = (
+                T0 // stride_acc[0],
+                H0 // stride_acc[1],
+                W0 // stride_acc[2],
+            )
+            feat_stride_sp = self.cfg.MVIT.PATCH_STRIDE[1] * stride_acc[1]
+
+            if cfg.MASK.PRED_HOG:
+                labels = self._hog_labels(
+                    x_raw, t_d, h_d, w_d, feat_stride_sp, nbins, cell_sz
+                )
+            else:
+                labels = self._pixel_labels(x_raw, t_d, h_d, w_d)
+            pred = MSSeparateHead(
+                num_classes=[labels.shape[-1]], dtype=dtype, name=f"pred_head_{d_i}"
+            )([feat])[0]
+
+            # Mask at this depth's granularity.
+            m = mask_tok.reshape(B, T0, H0, W0)
+            m = m[:, :: max(T0 // t_d, 1), :: max(H0 // h_d, 1), :: max(W0 // w_d, 1)]
+            m = m.reshape(B, -1)
+            preds_labels.append((pred, labels, m))
+
+        preds = [p for p, _, _ in preds_labels]
+        labels = [(l, m) for _, l, m in preds_labels]
+        return preds, labels
+
+    def _hog_labels(self, x_raw, t_d, h_d, w_d, feat_stride, nbins, cell_sz):
+        """HOG target per feature cell (reference _get_hog_label_2d :232-282).
+
+        Uses the temporally-strided center frame of each feature time step.
+        """
+        cfg = self.cfg
+        B, T, H, W, C = x_raw.shape
+        t_stride = T // t_d
+        frames = x_raw[:, ::t_stride][:, :t_d]  # (B, t_d, H, W, C)
+        frames = frames.reshape(B * t_d, H, W, C).astype(jnp.float32)
+        hog = hog_features(frames, nbins=nbins, cell_sz=cell_sz)
+        # (B*t_d, 3, nbins, Hc, Wc) -> group cells per feature patch.
+        Hc, Wc = hog.shape[-2], hog.shape[-1]
+        cells_per = Hc // h_d
+        hog = hog.reshape(B * t_d, 3, nbins, h_d, cells_per, w_d, cells_per)
+        hog = hog.transpose(0, 3, 5, 1, 4, 6, 2)  # (B*t, h, w, 3, cp, cp, nbins)
+        hog = hog.reshape(B, t_d * h_d * w_d, -1)
+        return jax.lax.stop_gradient(hog)
+
+    def _pixel_labels(self, x_raw, t_d, h_d, w_d):
+        """Raw-pixel targets (reference _get_pixel_label_3d :197-231)."""
+        B, T, H, W, C = x_raw.shape
+        t_stride, h_stride, w_stride = T // t_d, H // h_d, W // w_d
+        frames = x_raw[:, ::t_stride][:, :t_d].astype(jnp.float32)
+        patches = frames.reshape(
+            B, t_d, h_d, h_stride, w_d, w_stride, C
+        ).transpose(0, 1, 2, 4, 3, 5, 6)
+        patches = patches.reshape(B, t_d * h_d * w_d, -1)
+        if self.cfg.MASK.NORM_PRED_PIXEL:
+            mu = patches.mean(axis=-1, keepdims=True)
+            var = patches.var(axis=-1, keepdims=True)
+            patches = (patches - mu) / jnp.sqrt(var + 1e-6)
+        return jax.lax.stop_gradient(patches)
+
+    # ------------------------------------------------------------------
+    # MAE (reference :283-477)
+    # ------------------------------------------------------------------
+
+    def _mae_forward(self, tokens, thw, x_raw, train):
+        cfg = self.cfg
+        dtype = compute_dtype(cfg)
+        B, N, C = tokens.shape
+        T0, H0, W0 = thw
+        ratio = cfg.AUG.MASK_RATIO
+        len_keep = int(N * (1 - ratio))
+
+        x = self._add_pos(tokens, B)
+
+        # Random masking via argsorted noise (reference :283-318).
+        rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
+        noise = jax.random.uniform(rng, (B, N))
+        ids_shuffle = jnp.argsort(noise, axis=1)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)
+        ids_keep = ids_shuffle[:, :len_keep]
+        x_vis = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+
+        # Encoder over visible tokens only.
+        x_enc, _ = self._trunk(x_vis, None, train)
+        x_enc = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm")(x_enc)
+
+        # Decoder (reference :394-446).
+        dec_dim = cfg.MASK.DECODER_EMBED_DIM
+        x_dec = nn.Dense(
+            dec_dim, kernel_init=trunc02, bias_init=bias02, dtype=dtype,
+            name="decoder_embed",
+        )(x_enc)
+        mask_token = self.param(
+            "mask_token", trunc02, (1, 1, dec_dim), jnp.float32
+        ).astype(x_dec.dtype)
+        mask_tokens = jnp.broadcast_to(mask_token, (B, N - len_keep, dec_dim))
+        x_full = jnp.concatenate([x_dec, mask_tokens], axis=1)
+        x_full = jnp.take_along_axis(x_full, ids_restore[:, :, None], axis=1)
+        dec_pos = self.param(
+            "dec_pos_embed", trunc02, (1, N, dec_dim), jnp.float32
+        )
+        x_full = x_full + dec_pos.astype(x_full.dtype)
+        for i in range(cfg.MASK.DECODER_DEPTH):
+            x_full, _ = MultiScaleBlock(
+                dim=dec_dim,
+                dim_out=dec_dim,
+                num_heads=max(dec_dim // 64, 1),
+                input_size=(T0, H0, W0),
+                mlp_ratio=cfg.MVIT.MLP_RATIO,
+                qkv_bias=cfg.MVIT.QKV_BIAS,
+                dtype=dtype,
+                name=f"decoder_blocks_{i}",
+            )(x_full, [T0, H0, W0], deterministic=not train)
+        x_full = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="decoder_norm")(
+            x_full
+        )
+
+        # Pixel targets.
+        t_stride = 1 if cfg.MASK.TIME_STRIDE_LOSS else self.cfg.MVIT.PATCH_STRIDE[0]
+        labels = self._mae_pixel_targets(x_raw, T0, H0, W0)
+        pred = nn.Dense(
+            labels.shape[-1], kernel_init=trunc02, bias_init=bias02, dtype=dtype,
+            name="pred_head",
+        )(x_full)
+
+        mask = jnp.zeros((B, N))
+        mask = mask.at[:, len_keep:].set(1.0)
+        mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+        return [pred], [(labels, mask)]
+
+    def _mae_pixel_targets(self, x_raw, T0, H0, W0):
+        """Patchify pixels (reference _patchify :178-189). With
+        TIME_STRIDE_LOSS, targets use the temporally-strided frames."""
+        cfg = self.cfg
+        B, T, H, W, C = x_raw.shape
+        pt, ph, pw = cfg.MVIT.PATCH_STRIDE
+        frames = x_raw.astype(jnp.float32)
+        if cfg.MASK.TIME_STRIDE_LOSS:
+            frames = frames[:, ::pt][:, :T0]
+            patches = frames.reshape(B, T0, H0, ph, W0, pw, C)
+            patches = patches.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                B, T0 * H0 * W0, ph * pw * C
+            )
+        else:
+            patches = frames.reshape(B, T0, pt, H0, ph, W0, pw, C)
+            patches = patches.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                B, T0 * H0 * W0, pt * ph * pw * C
+            )
+        if cfg.MASK.NORM_PRED_PIXEL:
+            mu = patches.mean(axis=-1, keepdims=True)
+            var = patches.var(axis=-1, keepdims=True)
+            patches = (patches - mu) / jnp.sqrt(var + 1e-6)
+        return jax.lax.stop_gradient(patches)
+
+    # ------------------------------------------------------------------
+    # Shared trunk helpers
+    # ------------------------------------------------------------------
+
+    def _add_pos(self, tokens, B):
+        cfg = self.cfg
+        C = tokens.shape[-1]
+        if not cfg.MVIT.USE_ABS_POS:
+            return tokens
+        N = tokens.shape[1]
+        if cfg.MVIT.SEP_POS_EMBED:
+            patch_stride = list(cfg.MVIT.PATCH_STRIDE)
+            T0 = cfg.DATA.NUM_FRAMES // patch_stride[0]
+            HW = N // T0
+            pe_s = self.param("pos_embed_spatial", trunc02, (1, HW, C), jnp.float32)
+            pe_t = self.param("pos_embed_temporal", trunc02, (1, T0, C), jnp.float32)
+            pos = jnp.tile(pe_s, (1, T0, 1)) + jnp.repeat(pe_t, HW, axis=1)
+        else:
+            pos = self.param("pos_embed", trunc02, (1, N, C), jnp.float32)
+        return tokens + pos.astype(tokens.dtype)[:, : tokens.shape[1]]
+
+    def _trunk(self, x, thw, train):
+        """MViT blocks up to PRETRAIN_DEPTH; collects per-depth features.
+
+        thw None (MAE visible-token mode) disables pooling attention
+        (reference MAE path keeps token count; pool strides are unused in
+        MAE pretrain configs).
+        """
+        cfg = self.cfg
+        dtype = compute_dtype(cfg)
+        sched = mvit_block_schedule(cfg)
+        depth_keep = cfg.MASK.PRETRAIN_DEPTH[-1] + 1
+        dpr = np.linspace(0, cfg.MVIT.DROPPATH_RATE, cfg.MVIT.DEPTH)
+        feats = []
+        cur_thw = list(thw) if thw is not None else None
+        for i in range(depth_keep):
+            blk = sched[i]
+            use_pool = thw is not None
+            x, cur_thw = MultiScaleBlock(
+                dim=blk["dim"],
+                dim_out=blk["dim_out"],
+                num_heads=blk["num_heads"],
+                input_size=tuple(cur_thw) if cur_thw else (1, 1, 1),
+                mlp_ratio=cfg.MVIT.MLP_RATIO,
+                qkv_bias=cfg.MVIT.QKV_BIAS,
+                droppath_rate=float(dpr[i]),
+                kernel_q=blk["kernel_q"] if use_pool else (),
+                kernel_kv=blk["kernel_kv"] if use_pool else (),
+                stride_q=blk["stride_q"] if use_pool else (),
+                stride_kv=blk["stride_kv"] if use_pool else (),
+                mode=cfg.MVIT.MODE,
+                has_cls_embed=cfg.MVIT.CLS_EMBED_ON,
+                rel_pos_spatial=cfg.MVIT.REL_POS_SPATIAL and use_pool,
+                rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL and use_pool,
+                residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
+                dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
+                dtype=dtype,
+                name=f"blocks_{i}",
+            )(
+                x,
+                cur_thw if cur_thw else [1, 1, x.shape[1]],
+                deterministic=not train,
+            )
+            if i in cfg.MASK.PRETRAIN_DEPTH:
+                feats.append(x)
+        return x, feats
+
+
+def masked_loss(preds, labels, loss_name="mse"):
+    """Mask-weighted loss over (pred, (target, mask)) pairs."""
+    total = 0.0
+    for pred, (target, mask) in zip(preds, labels):
+        err = jnp.mean(
+            jnp.square(pred.astype(jnp.float32) - target), axis=-1
+        )  # (B, N)
+        total = total + jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return total / len(preds)
