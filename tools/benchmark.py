@@ -1,0 +1,64 @@
+"""Data-loading benchmark (reference tools/benchmark.py + utils/benchmark.py:20-101).
+
+Iterates the train loader without any model, logging clips/s and RAM.
+"""
+
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from slowfast_tpu.config import assert_and_infer_cfg
+from slowfast_tpu.data import construct_loader, shuffle_dataset
+from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.logging import log_json_stats
+from slowfast_tpu.utils.parser import load_config, parse_args
+
+logger = logging_utils.get_logger(__name__)
+
+
+def benchmark_data_loading(cfg):
+    logging_utils.setup_logging(cfg.OUTPUT_DIR)
+    loader = construct_loader(cfg, "train")
+    batch_size = cfg.TRAIN.BATCH_SIZE
+    log_period = cfg.BENCHMARK.LOG_PERIOD
+    for epoch in range(cfg.BENCHMARK.NUM_EPOCHS):
+        if cfg.BENCHMARK.SHUFFLE:
+            shuffle_dataset(loader, epoch)
+        t0 = time.time()
+        last = t0
+        for cur_iter, batch in enumerate(loader):
+            if (cur_iter + 1) % log_period == 0:
+                now = time.time()
+                ips = log_period * batch_size / (now - last)
+                last = now
+                log_json_stats(
+                    {
+                        "_type": "benchmark",
+                        "epoch": epoch,
+                        "iter": cur_iter + 1,
+                        "clips_per_s": ips,
+                    },
+                    cfg.OUTPUT_DIR,
+                )
+        total = time.time() - t0
+        logger.info(
+            "Epoch %d: %.1f clips/s overall",
+            epoch,
+            (cur_iter + 1) * batch_size / total,
+        )
+
+
+def main():
+    args = parse_args()
+    for path_to_config in args.cfg_files or [None]:
+        cfg = load_config(args, path_to_config)
+        cfg = assert_and_infer_cfg(cfg)
+        benchmark_data_loading(cfg)
+
+
+if __name__ == "__main__":
+    main()
