@@ -139,13 +139,57 @@ class Kinetics:
                 f"Failed to fetch video after {self._num_retries} retries."
             )
 
+        # SSL two-view mode: two independently augmented clips
+        # (reference multi-clip sampling, kinetics.py:359-464).
+        if (
+            cfg.MODEL.MODEL_NAME == "ContrastiveModel"
+            and self.mode == "train"
+        ):
+            v1 = self._process_clip(
+                frames, spatial_sample_index, min_scale, max_scale, crop_size
+            )
+            v2 = self._process_clip(
+                frames, spatial_sample_index, min_scale, max_scale, crop_size
+            )
+            label = self._labels[index]
+            return [v1, v2], label, index, np.zeros((1,)), {}
+
         frames = self._process_clip(
             frames, spatial_sample_index, min_scale, max_scale, crop_size
         )
         label = self._labels[index]
+        meta = {}
+        if cfg.AUG.GEN_MASK_LOADER:
+            meta["mask"] = self._gen_mask()
         if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
-            self.dummy_output = (frames, label, index, np.zeros((1,)), {})
-        return frames, label, index, np.zeros((1,)), {}
+            self.dummy_output = (frames, label, index, np.zeros((1,)), meta)
+        return frames, label, index, np.zeros((1,)), meta
+
+    def _gen_mask(self):
+        """MaskFeat mask generation (reference kinetics.py:470-504):
+        tube / per-frame / 3D-block masking at MASK_WINDOW_SIZE granularity."""
+        cfg = self.cfg
+        from .transform import MaskingGenerator, MaskingGenerator3D
+
+        win = cfg.AUG.MASK_WINDOW_SIZE
+        ratio = cfg.AUG.MASK_RATIO
+        if cfg.AUG.MASK_TUBE:
+            num = round(win[1] * win[2] * ratio)
+            m = MaskingGenerator(
+                (win[1], win[2]), num,
+                max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK,
+            )()
+            return np.tile(m[None], (win[0], 1, 1)).astype(np.float32)
+        if cfg.AUG.MASK_FRAMES:
+            m = np.zeros(win, np.float32)
+            n_frames = round(win[0] * ratio)
+            idx = np.random.permutation(win[0])[:n_frames]
+            m[idx] = 1.0
+            return m
+        num = round(np.prod(win) * ratio)
+        return MaskingGenerator3D(
+            win, num, max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK
+        )().astype(np.float32)
 
     def _process_clip(
         self, frames, spatial_sample_index, min_scale, max_scale, crop_size

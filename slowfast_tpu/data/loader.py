@@ -60,6 +60,16 @@ def _stack_inputs(inputs_list):
     ]
 
 
+def ssl_collate(samples):
+    """Two-view collate: sample[0] is [view1_pathways, view2_pathways]."""
+    v1 = _stack_inputs([s[0][0] for s in samples])
+    v2 = _stack_inputs([s[0][1] for s in samples])
+    labels = np.asarray([s[1] for s in samples])
+    index = np.asarray([s[2] for s in samples], np.int64)
+    time_arr = np.stack([np.asarray(s[3]) for s in samples])
+    return (v1, v2), labels, index, time_arr, {}
+
+
 def default_collate(samples):
     inputs = _stack_inputs([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples])
@@ -67,7 +77,10 @@ def default_collate(samples):
         labels = labels.astype(np.float32)
     index = np.asarray([s[2] for s in samples], np.int64)
     time_arr = np.stack([np.asarray(s[3]) for s in samples])
-    return inputs, labels, index, time_arr, {}
+    meta = {}
+    if samples[0][4] and "mask" in samples[0][4]:
+        meta["mask"] = np.stack([s[4]["mask"] for s in samples])
+    return inputs, labels, index, time_arr, meta
 
 
 class ShardedLoader:
@@ -157,7 +170,12 @@ def construct_loader(cfg, split):
         shuffle, drop_last = False, False
 
     dataset = build_dataset(dataset_name, cfg, split)
-    collate = detection_collate if cfg.DETECTION.ENABLE else default_collate
+    if cfg.DETECTION.ENABLE:
+        collate = detection_collate
+    elif cfg.MODEL.MODEL_NAME == "ContrastiveModel" and split == "train":
+        collate = ssl_collate
+    else:
+        collate = default_collate
     return ShardedLoader(dataset, batch_size, shuffle, drop_last, cfg, collate)
 
 

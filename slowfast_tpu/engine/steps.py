@@ -50,6 +50,7 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
     batch: {"inputs": [pathways...], "labels": ..., optional "boxes"}.
     """
     detection = cfg.DETECTION.ENABLE
+    masked = cfg.MASK.ENABLE
     mixup_on = cfg.MIXUP.ENABLE
     num_classes = cfg.MODEL.NUM_CLASSES
     loss_fun = get_loss_func(cfg.MODEL.LOSS_FUNC)
@@ -84,6 +85,17 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
                 preds, mutated = model.apply(
                     variables, inputs, batch["boxes"], mutable=["batch_stats"], **kwargs
                 )
+            elif masked:
+                # MaskFeat/MAE: model generates its own targets
+                # (reference train_net.py:127-133 MASK branch).
+                from slowfast_tpu.models.masked import masked_loss
+
+                (preds, gen_labels), mutated = model.apply(
+                    variables, inputs, mask=batch.get("mask"),
+                    mutable=["batch_stats"], **kwargs
+                )
+                loss = masked_loss(preds, gen_labels)
+                return loss, (preds[0], mutated["batch_stats"])
             else:
                 preds, mutated = model.apply(
                     variables, inputs, mutable=["batch_stats"], **kwargs
@@ -109,7 +121,7 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
         )
 
         metrics = {"loss": loss, "grad_norm": grad_norm}
-        if not detection and not multi_label and labels.ndim == 1:
+        if not detection and not masked and not multi_label and labels.ndim == 1:
             k1, k5 = topks_correct(preds.astype(jnp.float32), labels, (1, 5))
             b = preds.shape[0]
             metrics["top1_err"] = (1.0 - k1 / b) * 100.0
@@ -122,6 +134,8 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
         batch_shardings = {"inputs": [data] * _num_pathways(cfg), "labels": data}
         if detection:
             batch_shardings["boxes"] = data
+        if masked and cfg.AUG.GEN_MASK_LOADER:
+            batch_shardings["mask"] = data
         return jax.jit(
             step_fn,
             in_shardings=(None, batch_shardings, repl),

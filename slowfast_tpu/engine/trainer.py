@@ -37,6 +37,8 @@ def _to_batch(inputs, labels, extra=None, dtype=jnp.float32):
     }
     if extra is not None and "boxes" in extra:
         batch["boxes"] = jnp.asarray(extra["boxes"])
+    if extra is not None and "mask" in extra:
+        batch["mask"] = jnp.asarray(extra["mask"])
     return batch
 
 
@@ -95,8 +97,65 @@ def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg):
     return stats
 
 
+def train_ssl(cfg):
+    """SSL pretraining loop (ContrastiveModel)."""
+    from slowfast_tpu.engine.ssl_steps import (
+        create_ssl_train_state,
+        make_ssl_train_step,
+    )
+
+    mesh_lib.init_distributed(cfg)
+    logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
+    np.random.seed(cfg.RNG_SEED)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    mesh = mesh_lib.create_mesh(cfg)
+    model = build_model(cfg)
+    train_loader = construct_loader(cfg, "train")
+    steps_per_epoch = max(len(train_loader), 1)
+
+    from slowfast_tpu.models.build import dummy_inputs
+
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        dummy_inputs(cfg, 2),
+        train=True,
+    )
+    tx, lr_fn = construct_optimizer(variables["params"], cfg, steps_per_epoch)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    del variables
+    step_fn = make_ssl_train_step(
+        cfg, model, tx, mesh=mesh, steps_per_epoch=steps_per_epoch,
+        donate=cfg.TPU.DONATE,
+    )
+    train_meter = TrainMeter(steps_per_epoch, cfg)
+
+    for cur_epoch in range(cfg.SOLVER.MAX_EPOCH):
+        shuffle_dataset(train_loader, cur_epoch)
+        for cur_iter, (views, labels, index, times, meta) in enumerate(train_loader):
+            v1, v2 = views
+            batch = {
+                "inputs": [jnp.asarray(x) for x in v1],
+                "inputs2": [jnp.asarray(x) for x in v2],
+                "index": jnp.asarray(index),
+            }
+            batch = mesh_lib.shard_batch(batch, mesh)
+            state, m = step_fn(state, batch, rng)
+            loss = float(m["loss"])
+            lr = float(lr_fn(int(state.step) - 1))
+            train_meter.update_stats(None, None, loss, lr, len(index) * cfg.NUM_SHARDS)
+            train_meter.log_iter_stats(cur_epoch, cur_iter)
+        train_meter.log_epoch_stats(cur_epoch)
+        train_meter.reset()
+        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+    logger.info("ssl training done")
+    return state
+
+
 def train(cfg):
     """Full training entry (reference train_net.py:493-758)."""
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        return train_ssl(cfg)
     mesh_lib.init_distributed(cfg)
     logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
     logger.info("Train with config:")

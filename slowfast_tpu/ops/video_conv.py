@@ -30,6 +30,9 @@ SMALL_C = 32
 
 
 def _conv2d(x, w, stride, padding, groups=1, dilation=(1, 1)):
+    # No explicit preferred_element_type: the TPU MXU accumulates bf16
+    # matmuls in fp32 internally, and a widened output dtype breaks the
+    # conv VJP (mixed-dtype transpose conv is rejected by lax).
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -38,8 +41,7 @@ def _conv2d(x, w, stride, padding, groups=1, dilation=(1, 1)):
         rhs_dilation=tuple(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def _toeplitz_weights(w, T, stride_t, pad_t):
@@ -90,11 +92,9 @@ def temporal_conv_taps(x, w, stride_t, pad_t):
     acc = None
     for d in range(kt):
         xs = xp[:, d : d + (Tout - 1) * stride_t + 1 : stride_t]
-        term = jnp.einsum(
-            "bthwc,co->bthwo", xs, w[d, 0, 0], preferred_element_type=jnp.float32
-        )
+        term = jnp.einsum("bthwc,co->bthwo", xs, w[d, 0, 0])
         acc = term if acc is None else acc + term
-    return acc.astype(x.dtype)
+    return acc
 
 
 def temporal_conv_folded(x, w, stride_t, pad_t):
@@ -173,7 +173,7 @@ def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
         xf = fold_time(x)
         y = jax.lax.reduce_window(
             xf,
-            -jnp.inf if x.dtype == jnp.float32 else jnp.asarray(-jnp.inf, x.dtype),
+            -jnp.inf,
             jax.lax.max,
             (1, kh, kw, 1),
             (1, stride[1], stride[2], 1),
@@ -182,7 +182,7 @@ def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
         return unfold_time(y, T)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.asarray(-jnp.inf, x.dtype),
+        -jnp.inf,
         jax.lax.max,
         (1, kt, kh, kw, 1),
         (1,) + tuple(stride) + (1,),
