@@ -46,11 +46,11 @@ def main():
     )
     variables = init(rng)
     tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=1000)
-    state = create_train_state(cfg, model, tx, rng=rng)
+    state = create_train_state(cfg, model, tx, rng=rng, variables=variables)
     del variables
     step = make_train_step(cfg, model, tx, donate=True)
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     batch = {
         "inputs": _inputs(cfg, B, dtype=jnp.bfloat16, random=True),
         "labels": jax.random.randint(

@@ -10,7 +10,24 @@ from . import transform
 
 
 def retry_load_images(image_paths, retry=10, backend="cv2"):
-    """Load JPEG frames with retries (reference utils.py:24-52)."""
+    """Load JPEG frames with retries (reference utils.py:24-52).
+
+    Fast path: the native multi-threaded batch decoder
+    (slowfast_tpu/native) decodes all frames into one contiguous buffer;
+    falls back to cv2 per-image on any failure. Native output is RGB;
+    callers expect cv2's BGR, so we flip to keep the contract identical.
+    """
+    try:
+        from slowfast_tpu import native
+
+        dims = native.probe_jpeg(image_paths[0])
+        if dims is not None:
+            batch = native.decode_jpeg_batch(image_paths, dims[0], dims[1])
+            if batch is not None:
+                return [img[:, :, ::-1] for img in batch]  # RGB -> BGR
+    except Exception:
+        pass
+
     import cv2
 
     for i in range(retry):

@@ -29,10 +29,17 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def create_train_state(cfg, model, tx, rng=None):
+def create_train_state(cfg, model, tx, rng=None, variables=None):
+    import jax as _jax
+
     from slowfast_tpu.models.build import init_model
 
-    variables = init_model(model, cfg, rng=rng, train=True)
+    if variables is None:
+        # Jit the init: eager init dispatches thousands of tiny ops, which
+        # is pathological through the axon tunnel (~minutes).
+        variables = _jax.jit(
+            lambda r: init_model(model, cfg, rng=r, train=True)
+        )(rng if rng is not None else _jax.random.PRNGKey(cfg.RNG_SEED))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
