@@ -44,7 +44,10 @@ def main():
             train=True,
         )
     )
+    print("bench: init...", file=sys.stderr, flush=True)
     variables = init(rng)
+    jax.block_until_ready(variables["params"])
+    print("bench: init done", file=sys.stderr, flush=True)
     tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=1000)
     state = create_train_state(cfg, model, tx, rng=rng, variables=variables)
     del variables
@@ -59,8 +62,11 @@ def main():
     }
 
     # Warmup (compile + 2 steps).
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
+    t_c = time.time()
     state, m = step(state, batch, rng)
     _sync(m)
+    print(f"bench: step compiled in {time.time()-t_c:.0f}s", file=sys.stderr, flush=True)
     for _ in range(2):
         state, m = step(state, batch, rng)
     _sync(m)
