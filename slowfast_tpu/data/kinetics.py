@@ -92,11 +92,29 @@ class Kinetics:
         if self.dummy_output is not None:
             return self.dummy_output
 
+        # Short-cycle multigrid passes (index, cycle position)
+        # (reference kinetics.py:189-215).
+        short_cycle_idx = None
+        if isinstance(index, (tuple, list)):
+            index, short_cycle_idx = index
+
         if self.mode in ["train", "val"]:
             temporal_sample_index = -1
             spatial_sample_index = -1
             min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
             crop_size = cfg.DATA.TRAIN_CROP_SIZE
+            if short_cycle_idx in (0, 1):
+                crop_size = int(
+                    round(
+                        cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                        * cfg.MULTIGRID.DEFAULT_S
+                    )
+                )
+            if cfg.MULTIGRID.DEFAULT_S > 0:
+                # Scale jitter proportionally to the current crop size.
+                min_scale = int(
+                    round(float(min_scale) * crop_size / cfg.MULTIGRID.DEFAULT_S)
+                )
         else:
             temporal_sample_index = (
                 self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
@@ -253,11 +271,21 @@ class Syntheticvideo:
 
     def __getitem__(self, index):
         cfg = self.cfg
+        short_cycle_idx = None
+        if isinstance(index, (tuple, list)):
+            index, short_cycle_idx = index
         crop = (
             cfg.DATA.TRAIN_CROP_SIZE
             if self.mode in ("train", "val")
             else cfg.DATA.TEST_CROP_SIZE
         )
+        if short_cycle_idx in (0, 1) and cfg.MULTIGRID.DEFAULT_S > 0:
+            crop = int(
+                round(
+                    cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                    * cfg.MULTIGRID.DEFAULT_S
+                )
+            )
         t = cfg.DATA.NUM_FRAMES
         rng = np.random.RandomState(index)
         frames = rng.randint(0, 255, (t, crop, crop, 3), np.uint8)

@@ -86,7 +86,8 @@ def default_collate(samples):
 class ShardedLoader:
     """Iterable over collated global batches for this host's shard."""
 
-    def __init__(self, dataset, batch_size, shuffle, drop_last, cfg, collate=None):
+    def __init__(self, dataset, batch_size, shuffle, drop_last, cfg, collate=None,
+                 short_cycle=False):
         self.dataset = dataset
         self.global_batch = batch_size
         self.shuffle = shuffle
@@ -100,6 +101,28 @@ class ShardedLoader:
         self.host_id = jax.process_index()
         assert batch_size % self.num_hosts == 0
         self.host_batch = batch_size // self.num_hosts
+        # Short-cycle multigrid: cycle batch shapes [B*f0^-2, B*f1^-2, B]
+        # (reference datasets/multigrid_helper.py:19-85). Each compiled
+        # (B, S) bucket is one jit cache entry.
+        self.short_cycle = short_cycle
+        if short_cycle:
+            bs_factor = [
+                int(
+                    round(
+                        (
+                            float(cfg.DATA.TRAIN_CROP_SIZE)
+                            / (f * cfg.MULTIGRID.DEFAULT_S)
+                        )
+                        ** 2
+                    )
+                )
+                for f in cfg.MULTIGRID.SHORT_CYCLE_FACTORS
+            ]
+            self.cycle_batches = [
+                batch_size * bs_factor[0],
+                batch_size * bs_factor[1],
+                batch_size,
+            ]
 
     def set_epoch(self, epoch):
         """Per-epoch reshuffle (reference loader.shuffle_dataset :174-207)."""
@@ -118,6 +141,18 @@ class ShardedLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
+        if self.short_cycle:
+            pos = 0
+            cycle = 0
+            while True:
+                bsz = self.cycle_batches[cycle % 3]
+                batch = order[pos : pos + bsz]
+                if len(batch) < bsz:
+                    return
+                local = batch[self.host_id :: self.num_hosts][: bsz // self.num_hosts]
+                yield [(int(i), cycle % 3) for i in local]
+                pos += bsz
+                cycle += 1
         num_batches = len(self)
         for b in range(num_batches):
             batch = order[b * self.global_batch : (b + 1) * self.global_batch]
@@ -156,10 +191,12 @@ class ShardedLoader:
 def construct_loader(cfg, split):
     """Build the loader for a split (reference loader.py:86-171)."""
     assert split in ["train", "val", "test"]
+    short_cycle = False
     if split == "train":
         dataset_name = cfg.TRAIN.DATASET
         batch_size = cfg.TRAIN.BATCH_SIZE
         shuffle, drop_last = True, True
+        short_cycle = cfg.MULTIGRID.SHORT_CYCLE
     elif split == "val":
         dataset_name = cfg.TRAIN.DATASET
         batch_size = cfg.TRAIN.BATCH_SIZE
@@ -176,7 +213,10 @@ def construct_loader(cfg, split):
         collate = ssl_collate
     else:
         collate = default_collate
-    return ShardedLoader(dataset, batch_size, shuffle, drop_last, cfg, collate)
+    return ShardedLoader(
+        dataset, batch_size, shuffle, drop_last, cfg, collate,
+        short_cycle=short_cycle,
+    )
 
 
 def shuffle_dataset(loader, cur_epoch):

@@ -256,10 +256,19 @@ class ResStage(nn.Module):
     dilation: Sequence[int] = (1, 1)
     zero_init_final_bn: bool = False
     drop_connect_rate: float = 0.0
+    act_checkpoint: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
+        # MODEL.ACT_CHECKPOINT: rematerialize each block in the backward
+        # pass (reference wraps stages in fairscale checkpoint_wrapper,
+        # video_model_builder.py:535-541).
+        block_cls = (
+            nn.remat(ResBlock, static_argnums=(2,))
+            if self.act_checkpoint
+            else ResBlock
+        )
         num_pathways = len(self.num_blocks)
         out = []
         for p in range(num_pathways):
@@ -269,7 +278,7 @@ class ResStage(nn.Module):
             ] + [1] * (self.num_blocks[p] - self.num_block_temp_kernel[p])
             x = xs[p]
             for i in range(self.num_blocks[p]):
-                x = ResBlock(
+                x = block_cls(
                     dim_in=self.dim_in[p] if i == 0 else self.dim_out[p],
                     dim_out=self.dim_out[p],
                     temp_kernel_size=tks[i],
@@ -285,7 +294,7 @@ class ResStage(nn.Module):
                     drop_connect_rate=self.drop_connect_rate,
                     dtype=self.dtype,
                     name=f"pathway{p}_res{i}",
-                )(x, train=train)
+                )(x, train)
                 if i in self.nonlocal_inds[p]:
                     group = self.nonlocal_group[p]
                     if group > 1:

@@ -184,6 +184,7 @@ class SlowFast(nn.Module):
                 dilation=[cfg.RESNET.SPATIAL_DILATIONS[i][0]] * 2,
                 zero_init_final_bn=zero_bn,
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE,
+                act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
                 dtype=dtype,
                 name=f"s{i + 2}",
             )(xs, train=train)
@@ -314,6 +315,7 @@ class ResNet(nn.Module):
                 dilation=cfg.RESNET.SPATIAL_DILATIONS[i],
                 zero_init_final_bn=zero_bn,
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE,
+                act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
                 dtype=dtype,
                 name=f"s{i + 2}",
             )(xs, train=train)
@@ -434,6 +436,7 @@ class X3D(nn.Module):
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE
                 * (stage + 2)
                 / (len(block_basis) + 1),
+                act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
                 dtype=dtype,
                 name=f"s{stage + 2}",
             )(xs, train=train)
