@@ -105,6 +105,71 @@ class BatchNorm3D(nn.Module):
         return y.astype(orig_dtype if orig_dtype != jnp.float32 else self.dtype)
 
 
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm applied to a T-folded (B, H, W, T*C) tensor.
+
+    Shares parameter/stat layout with :class:`BatchNorm3D` (per-channel (C,)
+    scale/bias/mean/var under the same names), so checkpoints are identical
+    regardless of which formulation ran. Statistics reduce over (B, H, W)
+    and the T blocks — exactly the (B, T, H, W) reduction of the unfolded
+    tensor.
+    """
+
+    features: int
+    t: int  # static temporal extent folded into channels
+    eps: float = 1e-5
+    momentum: float = 0.1
+    frozen: bool = False
+    zero_init_gamma: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C, T = self.features, self.t
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_init_gamma else nn.initializers.ones,
+            (C,),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        B, H, W, TC = x32.shape
+        assert TC == T * C, (TC, T, C)
+
+        if train and not self.frozen:
+            # Per-(t, c) moments over (B, H, W), then mean over T blocks.
+            m_tc = jnp.mean(x32, axis=(0, 1, 2)).reshape(T, C)
+            m2_tc = jnp.mean(jnp.square(x32), axis=(0, 1, 2)).reshape(T, C)
+            mean = jnp.mean(m_tc, axis=0)
+            var = jnp.mean(m2_tc, axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x32.size / C
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = (
+                    1.0 - self.momentum
+                ) * ra_mean.value + self.momentum * mean
+                ra_var.value = (
+                    1.0 - self.momentum
+                ) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        # Tile per-channel params across the T blocks.
+        scale_t = jnp.tile(scale * inv, (T,))
+        bias_t = jnp.tile(bias - mean * scale * inv, (T,))
+        y = x32 * scale_t + bias_t
+        return y.astype(orig_dtype)
+
+
 def norm_builder(cfg):
     """Return a callable ``(features, zero_init_gamma=False) -> BatchNorm3D``
     configured from ``cfg.BN`` (reference get_norm, batchnorm_helper.py:16-37).
@@ -119,7 +184,15 @@ def norm_builder(cfg):
     num_splits = cfg.BN.NUM_SPLITS if norm_type == "sub_batchnorm" else 1
     frozen = cfg.MODEL.FROZEN_BN
 
-    def make(features, zero_init_gamma=False, name=None):
+    def make(features, zero_init_gamma=False, name=None, folded_t=None):
+        if folded_t is not None:
+            return FoldedBatchNorm(
+                features=features,
+                t=folded_t,
+                frozen=frozen,
+                zero_init_gamma=zero_init_gamma,
+                name=name,
+            )
         return BatchNorm3D(
             features=features,
             num_splits=num_splits,

@@ -62,6 +62,27 @@ class Conv3D(nn.Module):
         return y
 
 
+class Conv3DParam(nn.Module):
+    """Declares a conv kernel param (standard layout) without running it.
+
+    Used by fused/folded pipelines that consume the weight directly while
+    keeping the same checkpoint path (<name>/kernel) as Conv3D.
+    """
+
+    features: int
+    kernel: Sequence[int]
+    kernel_init: Callable = None
+
+    @nn.compact
+    def __call__(self, cin):
+        return self.param(
+            "kernel",
+            self.kernel_init or msra_fill,
+            tuple(self.kernel) + (cin, self.features),
+            jnp.float32,
+        )
+
+
 def conv3d(
     features: int,
     kernel: Sequence[int],

@@ -157,7 +157,7 @@ def video_conv(x, w, stride=(1, 1, 1), padding=(0, 0, 0), groups=1,
     if kt == 1:
         return spatial_conv(x, w, stride[1:], padding[1:], 1, dilation[1:])
     if kh == 1 and kw == 1:
-        if C < SMALL_C and stride[0] == 1:
+        if C < SMALL_C:
             return temporal_conv_folded(x, w, stride[0], padding[0])
         return temporal_conv_taps(x, w, stride[0], padding[0])
     if C < SMALL_C:
