@@ -1,0 +1,86 @@
+"""Checkpoint save/resume roundtrip + torch import surface."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slowfast_tpu.config import get_cfg
+from slowfast_tpu.engine.steps import create_train_state, make_train_step
+from slowfast_tpu.models import build_model
+from slowfast_tpu.models.build import init_model
+from slowfast_tpu.solver.optimizer import construct_optimizer
+from slowfast_tpu.utils import checkpoint as cu
+
+
+def _tiny_cfg(tmp):
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "c2d"
+    cfg.MODEL.NUM_CLASSES = 8
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2], [2], [2], [2]]
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = tmp
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    return cfg
+
+
+def test_native_checkpoint_roundtrip():
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _tiny_cfg(tmp)
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        variables = init_model(model, cfg, rng=rng, train=True)
+        tx, _ = construct_optimizer(variables["params"], cfg, 10)
+        state = create_train_state(cfg, model, tx, rng=rng, variables=variables)
+
+        # One step so optimizer state is non-trivial.
+        step = make_train_step(cfg, model, tx, donate=False)
+        batch = {
+            "inputs": [jnp.ones((2, 4, 32, 32, 3))],
+            "labels": jnp.zeros((2,), jnp.int32),
+        }
+        state, _ = step(state, batch, rng)
+
+        path = cu.save_checkpoint(tmp, state, epoch=4, cfg=cfg)
+        assert path and os.path.exists(path)
+        assert cu.has_checkpoint(tmp)
+        assert cu.get_last_checkpoint(tmp) == path
+
+        fresh = create_train_state(cfg, model, tx, rng=jax.random.PRNGKey(9))
+        restored, epoch = cu.load_native_checkpoint(path, fresh)
+        assert epoch == 4
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+
+        # auto-resume entry point
+        cfg.TRAIN.AUTO_RESUME = True
+        resumed, start_epoch = cu.load_train_checkpoint(cfg, fresh)
+        assert start_epoch == 4
+
+
+def test_checkpoint_epoch_cadence():
+    cfg = get_cfg()
+    cfg.TRAIN.CHECKPOINT_PERIOD = 5
+    cfg.SOLVER.MAX_EPOCH = 20
+    marks = [e for e in range(20) if cu.is_checkpoint_epoch(cfg, e)]
+    assert marks == [4, 9, 14, 19]
+
+
+def test_inflate_weight():
+    w2d = np.random.RandomState(0).randn(1, 3, 3, 4, 8)
+    w3d = cu.inflate_weight(w2d[0][None], 5)
+    assert w3d.shape == (5, 3, 3, 4, 8)
+    # Sum over T reproduces the 2D filter (the /T scaling preserves output
+    # magnitude on temporally-constant input).
+    np.testing.assert_allclose(w3d.sum(0), w2d[0], rtol=1e-6)
