@@ -200,7 +200,7 @@ _C.MODEL = CfgNode(
         MODEL_NAME="SlowFast",
         NUM_CLASSES=400,
         LOSS_FUNC="cross_entropy",
-        SINGLE_PATHWAY_ARCH=["2d", "c2d", "i3d", "slow", "x3d", "mvit"],
+        SINGLE_PATHWAY_ARCH=["2d", "c2d", "i3d", "slow", "x3d", "mvit", "csn", "r2plus1d"],
         MULTI_PATHWAY_ARCH=["slowfast"],
         DROPOUT_RATE=0.5,
         DROPCONNECT_RATE=0.0,

@@ -4,6 +4,14 @@ from .video_models import ResNet, SlowFast, X3D  # noqa
 MODEL_REGISTRY.register(SlowFast)
 MODEL_REGISTRY.register(ResNet)
 MODEL_REGISTRY.register(X3D)
+# Reference pytorchvideo-backed builder names map to the native models
+# (reference ptv_model_builder.py:50-755; CSN/R(2+1)D are native transform
+# functions here, selected by MODEL.ARCH + RESNET.TRANS_FUNC).
+MODEL_REGISTRY.register(ResNet, name="PTVResNet")
+MODEL_REGISTRY.register(SlowFast, name="PTVSlowFast")
+MODEL_REGISTRY.register(X3D, name="PTVX3D")
+MODEL_REGISTRY.register(ResNet, name="PTVCSN")
+MODEL_REGISTRY.register(ResNet, name="PTVR2plus1D")
 
 
 def _register_late():
@@ -14,6 +22,7 @@ def _register_late():
 
     if "MViT" not in MODEL_REGISTRY:
         MODEL_REGISTRY.register(MViT)
+        MODEL_REGISTRY.register(MViT, name="PTVMViT")
     if "ContrastiveModel" not in MODEL_REGISTRY:
         MODEL_REGISTRY.register(ContrastiveModel)
     if "MaskMViT" not in MODEL_REGISTRY:

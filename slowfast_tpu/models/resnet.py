@@ -167,10 +167,104 @@ class X3DTransform(nn.Module):
         return x
 
 
+class CSNTransform(nn.Module):
+    """Channel-separated bottleneck (ir-CSN): 1x1x1 -> depthwise 3x3x3 ->
+    1x1x1. The capability the reference gains via pytorchvideo's CSN
+    builder (reference ptv_model_builder.py PTVCSN)."""
+
+    dim_out: int
+    temp_kernel_size: int
+    stride: int
+    dim_inner: int
+    num_groups: int
+    norm: Callable
+    stride_1x1: bool = False
+    dilation: int = 1
+    zero_init_final_bn: bool = False
+    block_idx: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="a")(x)
+        x = self.norm(self.dim_inner, name="a_bn")(x, train=train)
+        x = nn.relu(x)
+        x = conv3d(
+            self.dim_inner,
+            (3, 3, 3),
+            (1, self.stride, self.stride),
+            (1, self.dilation, self.dilation),
+            groups=self.dim_inner,
+            dilation=(1, self.dilation, self.dilation),
+            dtype=self.dtype,
+            name="b",
+        )(x)
+        x = self.norm(self.dim_inner, name="b_bn")(x, train=train)
+        x = nn.relu(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = self.norm(
+            self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
+        )(x, train=train)
+        return x
+
+
+class R2Plus1DTransform(nn.Module):
+    """(2+1)D bottleneck: the Tx3x3 middle conv factorizes into a spatial
+    (1,3,3) conv and a temporal (3,1,1) conv with BN+ReLU between (the
+    capability the reference gains via pytorchvideo's R(2+1)D builder)."""
+
+    dim_out: int
+    temp_kernel_size: int
+    stride: int
+    dim_inner: int
+    num_groups: int
+    norm: Callable
+    stride_1x1: bool = False
+    dilation: int = 1
+    zero_init_final_bn: bool = False
+    block_idx: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3d(self.dim_inner, (1, 1, 1), dtype=self.dtype, name="a")(x)
+        x = self.norm(self.dim_inner, name="a_bn")(x, train=train)
+        x = nn.relu(x)
+        # Spatial then temporal factorized conv.
+        x = conv3d(
+            self.dim_inner,
+            (1, 3, 3),
+            (1, self.stride, self.stride),
+            (0, self.dilation, self.dilation),
+            dilation=(1, self.dilation, self.dilation),
+            dtype=self.dtype,
+            name="b_spatial",
+        )(x)
+        x = self.norm(self.dim_inner, name="b_spatial_bn")(x, train=train)
+        x = nn.relu(x)
+        x = conv3d(
+            self.dim_inner,
+            (3, 1, 1),
+            (1, 1, 1),
+            (1, 0, 0),
+            dtype=self.dtype,
+            name="b_temporal",
+        )(x)
+        x = self.norm(self.dim_inner, name="b_temporal_bn")(x, train=train)
+        x = nn.relu(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = self.norm(
+            self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
+        )(x, train=train)
+        return x
+
+
 TRANS_FUNCS = {
     "bottleneck_transform": BottleneckTransform,
     "basic_transform": BasicTransform,
     "x3d_transform": X3DTransform,
+    "csn_transform": CSNTransform,
+    "r2plus1d_transform": R2Plus1DTransform,
 }
 
 

@@ -31,6 +31,8 @@ TEMPORAL_KERNEL_BASIS = {
     "slow": [[[1]], [[1]], [[1]], [[3]], [[3]]],
     "slowfast": [[[1], [5]], [[1], [3]], [[1], [3]], [[3], [3]], [[3], [3]]],
     "x3d": [[[5]], [[3]], [[3]], [[3]], [[3]]],
+    "csn": [[[3]], [[3]], [[3]], [[3]], [[3]]],
+    "r2plus1d": [[[1]], [[1]], [[1]], [[1]], [[1]]],
 }
 
 # Post-res2 temporal pooling per arch (reference video_model_builder.py:100-109).
@@ -43,6 +45,8 @@ POOL1 = {
     "slow": [[1, 1, 1]],
     "slowfast": [[1, 1, 1], [1, 1, 1]],
     "x3d": [[1, 1, 1]],
+    "csn": [[1, 1, 1]],
+    "r2plus1d": [[1, 1, 1]],
 }
 
 
