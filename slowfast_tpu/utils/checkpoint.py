@@ -166,7 +166,11 @@ def load_torch_checkpoint(path, variables, inflate=False, strict=False):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt)
+    return load_torch_checkpoint_dict(sd, variables, inflate=inflate, strict=strict)
 
+
+def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False):
+    """Map a torch-style state dict (name -> tensor/ndarray) onto flax vars."""
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
     flat = {"params": _flatten(params), "batch_stats": _flatten(stats)}
@@ -324,9 +328,19 @@ def _load_any(path, state, cfg):
         except AssertionError:
             pass
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    new_vars, _, _ = load_torch_checkpoint(
-        path, variables, inflate=cfg.TRAIN.CHECKPOINT_INFLATE
+    ckpt_type = cfg.TEST.CHECKPOINT_TYPE if not cfg.TRAIN.ENABLE else (
+        cfg.TRAIN.CHECKPOINT_TYPE
     )
+    if ckpt_type == "caffe2":
+        from .c2_import import load_caffe2_checkpoint
+
+        new_vars, _, _ = load_caffe2_checkpoint(
+            path, variables, inflate=cfg.TRAIN.CHECKPOINT_INFLATE
+        )
+    else:
+        new_vars, _, _ = load_torch_checkpoint(
+            path, variables, inflate=cfg.TRAIN.CHECKPOINT_INFLATE
+        )
     return state.replace(
         params=new_vars["params"], batch_stats=new_vars["batch_stats"]
     )
