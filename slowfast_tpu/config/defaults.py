@@ -584,6 +584,9 @@ _C.TPU = CfgNode(
         REMAT_POLICY="nothing_saveable",
         # Debug: return early after this stage name (e.g. "s2"); "" = off.
         TRUNCATE_AT="",
+        # Selective rematerialization: stage names to recompute in backward
+        # (e.g. ["s1", "s2"] — cheap FLOPs, huge activations).
+        REMAT_STAGES=[],
     )
 )
 

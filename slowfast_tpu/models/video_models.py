@@ -118,9 +118,15 @@ class SlowFast(nn.Module):
         zero_bn = cfg.RESNET.ZERO_INIT_FINAL_BN
 
         trunc = cfg.TPU.TRUNCATE_AT
+        remat_stages = set(cfg.TPU.REMAT_STAGES)
+        stem_cls = (
+            nn.remat(VideoModelStem, static_argnums=(2,))
+            if "s1" in remat_stages
+            else VideoModelStem
+        )
 
         xs = [x.astype(dtype) for x in xs]
-        xs = VideoModelStem(
+        xs = stem_cls(
             dim_out=[w, w // beta_inv],
             kernel=[tk[0][0] + [7, 7], tk[0][1] + [7, 7]],
             stride=[[1, 2, 2]] * 2,
@@ -128,7 +134,7 @@ class SlowFast(nn.Module):
             norm=norm,
             dtype=dtype,
             name="s1",
-        )(xs, train=train)
+        )(xs, train)
         xs = FuseFastToSlow(
             w // beta_inv,
             cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO,
@@ -157,7 +163,12 @@ class SlowFast(nn.Module):
 
         num_blocks = [d2, d3, d4, d5]
         for i in range(4):
-            xs = ResStage(
+            stage_cls = (
+                nn.remat(ResStage, static_argnums=(2,))
+                if f"s{i + 2}" in remat_stages
+                else ResStage
+            )
+            xs = stage_cls(
                 dim_in=stage_dims[i]["dim_in"],
                 dim_out=stage_dims[i]["dim_out"],
                 dim_inner=stage_dims[i]["dim_inner"],
@@ -191,7 +202,7 @@ class SlowFast(nn.Module):
                 act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
                 dtype=dtype,
                 name=f"s{i + 2}",
-            )(xs, train=train)
+            )(xs, train)
             if i < 3:
                 xs = FuseFastToSlow(
                     stage_dims[i]["dim_out"][1],

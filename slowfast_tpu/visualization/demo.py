@@ -186,10 +186,147 @@ def demo(cfg):
     from slowfast_tpu.parallel import mesh as mesh_lib
 
     logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
-    frame_provider = VideoManager(cfg)
+    if cfg.DETECTION.ENABLE and cfg.DEMO.PREDS_BOXES:
+        return AVAVisualizerWithPrecomputedBox(cfg)()
+    frame_provider = (
+        ThreadVideoManager(cfg) if cfg.DEMO.THREAD_ENABLE else VideoManager(cfg)
+    )
     num = 0
     for _ in run_demo(cfg, frame_provider):
         num += 1
     frame_provider.clean()
     logger.info("Processed %d clips.", num)
     return num
+
+
+class ThreadVideoManager(VideoManager):
+    """Threaded reader + ordered writer (reference demo_loader.py:145-360).
+
+    A reader thread keeps the clip queue full while the main thread runs the
+    predictor; annotated tasks are written in task-id order.
+    """
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.read_queue = queue.Queue(maxsize=8)
+        self.result_lock = threading.Lock()
+        self.results = {}
+        self.next_display = 0
+        self.stopped = False
+        self.reader = threading.Thread(target=self._read_loop, daemon=True)
+        self.reader.start()
+
+    def _read_loop(self):
+        try:
+            while not self.stopped:
+                task = VideoManager.__next__(self)
+                self.read_queue.put(task)
+        except StopIteration:
+            pass
+        finally:
+            self.read_queue.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        task = self.read_queue.get()
+        if task is None:
+            raise StopIteration
+        return task
+
+    def display(self, task):
+        """Write tasks strictly in id order."""
+        with self.result_lock:
+            self.results[task.id] = task
+            while self.next_display in self.results:
+                t = self.results.pop(self.next_display)
+                VideoManager.display(self, t)
+                self.next_display += 1
+
+    def clean(self):
+        self.stopped = True
+        super().clean()
+
+
+class AVAVisualizerWithPrecomputedBox:
+    """Full-video sweep with precomputed person boxes
+    (reference ava_demo_precomputed_boxes.py:24-352)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.source = cfg.DEMO.INPUT_VIDEO
+        self.pred_boxes = self._load_boxes(cfg.DEMO.PREDS_BOXES)
+        self.predictor = Predictor(cfg)
+        self.vis = VideoVisualizer(
+            num_classes=cfg.MODEL.NUM_CLASSES,
+            class_names_path=cfg.DEMO.LABEL_FILE_PATH,
+            thres=cfg.DEMO.COMMON_CLASS_THRES,
+            lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+            common_class_names=cfg.DEMO.COMMON_CLASS_NAMES,
+            mode=cfg.DEMO.VIS_MODE,
+        )
+
+    def _load_boxes(self, path):
+        """csv rows: video,sec,x1,y1,x2,y2,score (normalized coords)."""
+        import csv
+        from collections import defaultdict
+
+        boxes = defaultdict(list)
+        if not path:
+            return boxes
+        with open(path) as f:
+            for row in csv.reader(f):
+                sec = int(row[1])
+                box = [float(v) for v in row[2:6]]
+                score = float(row[6]) if len(row) > 6 else 1.0
+                if score >= self.cfg.AVA.DETECTION_SCORE_THRESH:
+                    boxes[sec].append(box)
+        return boxes
+
+    def __call__(self):
+        import cv2
+
+        cfg = self.cfg
+        cap = cv2.VideoCapture(self.source)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        writer = None
+        if cfg.DEMO.OUTPUT_FILE:
+            writer = cv2.VideoWriter(
+                cfg.DEMO.OUTPUT_FILE, cv2.VideoWriter_fourcc(*"mp4v"),
+                float(fps), (w, h),
+            )
+        seq_len = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
+        frames = []
+        sec = cfg.DEMO.STARTING_SECOND
+        processed = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+            if len(frames) == seq_len:
+                task = TaskInfo()
+                task.id = processed
+                task.frames = frames
+                norm_boxes = self.pred_boxes.get(sec, [])
+                task.bboxes = [
+                    [b[0] * w, b[1] * h, b[2] * w, b[3] * h] for b in norm_boxes
+                ]
+                task = self.predictor(task)
+                annotated = self.vis.draw_clip_range(
+                    task.frames, task.action_preds, bboxes=task.bboxes
+                )
+                if writer is not None:
+                    for fr in annotated:
+                        writer.write(fr)
+                frames = []
+                sec += seq_len / fps
+                processed += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        logger.info("AVA demo processed %d clips.", processed)
+        return processed
