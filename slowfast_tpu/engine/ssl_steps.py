@@ -239,3 +239,44 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
     if mesh is not None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def knn_eval(cfg, model, state, train_labels, val_loader, k=200, sigma=0.07):
+    """Online kNN evaluation against the instance memory bank.
+
+    Reference: contrastive.py eval_knn :227-236 + Memory bank; the standard
+    InstDisc weighted-vote protocol: cosine similarities to all bank
+    entries, top-k neighbors vote with weight exp(sim / sigma).
+    Returns top-1 accuracy (percent).
+    """
+    import numpy as np
+
+    memory = state.ssl_state.get("memory")
+    if memory is None:
+        return None
+    train_labels = jnp.asarray(train_labels, jnp.int32)
+    num_classes = cfg.MODEL.NUM_CLASSES if cfg.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM == 0 else cfg.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM
+
+    @jax.jit
+    def batch_knn(params, batch_stats, xs):
+        q = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xs,
+            train=False,
+            method=type(model).encode,
+        )
+        sim = q @ memory.T.astype(q.dtype)  # (B, LENGTH)
+        top_sim, top_idx = jax.lax.top_k(sim, k)
+        weights = jnp.exp(top_sim / sigma)  # (B, k)
+        neigh_labels = train_labels[top_idx]  # (B, k)
+        onehot = jax.nn.one_hot(neigh_labels, num_classes)
+        scores = jnp.sum(onehot * weights[..., None], axis=1)
+        return jnp.argmax(scores, axis=-1)
+
+    correct, total = 0, 0
+    for inputs, labels, index, times, meta in val_loader:
+        xs = [jnp.asarray(x) for x in (inputs[0] if isinstance(inputs, tuple) else inputs)]
+        pred = np.asarray(batch_knn(state.params, state.batch_stats, xs))
+        correct += int((pred == np.asarray(labels)).sum())
+        total += len(labels)
+    return 100.0 * correct / max(total, 1)

@@ -60,36 +60,49 @@ class BatchNorm3D(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        # Statistics in fp32 (reductions output small (C,)/(s,C) tensors —
+        # no fp32 materialization of the activation); the per-element
+        # normalize runs in the compute dtype so it fuses without layout
+        # copies.
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
         use_batch_stats = train and not self.frozen
 
         if use_batch_stats:
-            reduce_axes = tuple(range(x32.ndim - 1))  # all but channel
-            if self.num_splits > 1 and x32.shape[0] % self.num_splits == 0:
+            reduce_axes = tuple(range(x.ndim - 1))  # all but channel
+            if self.num_splits > 1 and x.shape[0] % self.num_splits == 0:
                 # Sub-BN: independent stats per batch split.
                 s = self.num_splits
-                xs = x32.reshape((s, x32.shape[0] // s) + x32.shape[1:])
+                xs = x.reshape((s, x.shape[0] // s) + x.shape[1:])
                 split_axes = tuple(range(1, xs.ndim - 1))
-                mean_s = jnp.mean(xs, axis=split_axes)  # (s, C)
-                var_s = jnp.mean(jnp.square(xs), axis=split_axes) - jnp.square(mean_s)
-                inv = jnp.reciprocal(jnp.sqrt(var_s + self.eps))
-                y = (xs - mean_s[:, None, None, None, None, :]) * inv[
+                xs32 = xs.astype(jnp.float32)
+                mean_s = jnp.mean(xs32, axis=split_axes)  # (s, C)
+                var_s = jnp.mean(jnp.square(xs32), axis=split_axes) - jnp.square(
+                    mean_s
+                )
+                inv_s = jnp.reciprocal(jnp.sqrt(var_s + self.eps))
+                a = (scale * inv_s).astype(orig_dtype)  # (s, C)
+                b = (bias - mean_s * scale * inv_s).astype(orig_dtype)
+                y = xs * a[:, None, None, None, None, :] + b[
                     :, None, None, None, None, :
                 ]
-                y = y.reshape(x32.shape)
+                y = y.reshape(x.shape)
                 # Aggregate split stats for the running average
                 # (reference misc.aggregate_sub_bn_stats semantics).
                 mean = jnp.mean(mean_s, axis=0)
                 var = jnp.mean(var_s + jnp.square(mean_s), axis=0) - jnp.square(mean)
             else:
-                mean = jnp.mean(x32, axis=reduce_axes)
-                var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+                x32sum = x.astype(jnp.float32)
+                mean = jnp.mean(x32sum, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x32sum), axis=reduce_axes) - jnp.square(
+                    mean
+                )
                 inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
-                y = (x32 - mean) * inv
+                a = (scale * inv).astype(orig_dtype)
+                b = (bias - mean * scale * inv).astype(orig_dtype)
+                y = x * a + b
 
             if not self.is_initializing():
-                n = x32.size / self.features
+                n = x.size / self.features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = (
                     1.0 - self.momentum
@@ -97,12 +110,12 @@ class BatchNorm3D(nn.Module):
                 ra_var.value = (
                     1.0 - self.momentum
                 ) * ra_var.value + self.momentum * unbiased
+            return y
         else:
             inv = jnp.reciprocal(jnp.sqrt(ra_var.value + self.eps))
-            y = (x32 - ra_mean.value) * inv
-
-        y = y * scale + bias
-        return y.astype(orig_dtype if orig_dtype != jnp.float32 else self.dtype)
+            a = (scale * inv).astype(orig_dtype)
+            b = (bias - ra_mean.value * scale * inv).astype(orig_dtype)
+            return x * a + b
 
 
 class FoldedBatchNorm(nn.Module):
@@ -140,18 +153,18 @@ class FoldedBatchNorm(nn.Module):
         )
 
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        B, H, W, TC = x32.shape
+        B, H, W, TC = x.shape
         assert TC == T * C, (TC, T, C)
 
         if train and not self.frozen:
             # Per-(t, c) moments over (B, H, W), then mean over T blocks.
+            x32 = x.astype(jnp.float32)
             m_tc = jnp.mean(x32, axis=(0, 1, 2)).reshape(T, C)
             m2_tc = jnp.mean(jnp.square(x32), axis=(0, 1, 2)).reshape(T, C)
             mean = jnp.mean(m_tc, axis=0)
             var = jnp.mean(m2_tc, axis=0) - jnp.square(mean)
             if not self.is_initializing():
-                n = x32.size / C
+                n = x.size / C
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = (
                     1.0 - self.momentum
@@ -163,11 +176,11 @@ class FoldedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
-        # Tile per-channel params across the T blocks.
-        scale_t = jnp.tile(scale * inv, (T,))
-        bias_t = jnp.tile(bias - mean * scale * inv, (T,))
-        y = x32 * scale_t + bias_t
-        return y.astype(orig_dtype)
+        # Tile per-channel params across the T blocks; normalize in the
+        # compute dtype so the elementwise op fuses.
+        scale_t = jnp.tile(scale * inv, (T,)).astype(orig_dtype)
+        bias_t = jnp.tile(bias - mean * scale * inv, (T,)).astype(orig_dtype)
+        return x * scale_t + bias_t
 
 
 def norm_builder(cfg):

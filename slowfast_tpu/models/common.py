@@ -62,6 +62,38 @@ class Conv3D(nn.Module):
         return y
 
 
+class FoldedConv3D(nn.Module):
+    """Conv on a T-folded (B, H, W, T*C) tensor.
+
+    Same param layout/name as Conv3D ((kt,kh,kw,Cin,Cout) under 'kernel'),
+    so checkpoints are independent of which layout executed.
+    """
+
+    features: int
+    kernel: Sequence[int]
+    t: int
+    stride: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (0, 0, 0)
+    kernel_init: Callable = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xf):
+        from slowfast_tpu.ops.video_conv import folded_conv
+
+        cin = xf.shape[-1] // self.t
+        w = self.param(
+            "kernel",
+            self.kernel_init or msra_fill,
+            tuple(self.kernel) + (cin, self.features),
+            jnp.float32,
+        )
+        y, t_out = folded_conv(
+            xf, w.astype(xf.dtype), self.t, tuple(self.stride), tuple(self.padding)
+        )
+        return y, t_out
+
+
 class Conv3DParam(nn.Module):
     """Declares a conv kernel param (standard layout) without running it.
 

@@ -11,7 +11,7 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import SE, conv3d, drop_path
+from .common import SE, FoldedConv3D, conv3d, drop_path
 from .nonlocal_block import Nonlocal
 
 
@@ -70,12 +70,48 @@ class BottleneckTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    folded_t: int = 0  # >0: input is (B, H, W, T*C) folded
     dtype: Any = None
     block_idx: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         str1x1, str3x3 = (self.stride, 1) if self.stride_1x1 else (1, self.stride)
+
+        if self.folded_t:
+            T = self.folded_t
+            x, _ = FoldedConv3D(
+                self.dim_inner,
+                (self.temp_kernel_size, 1, 1),
+                T,
+                (1, str1x1, str1x1),
+                (self.temp_kernel_size // 2, 0, 0),
+                dtype=self.dtype,
+                name="a",
+            )(x)
+            x = self.norm(self.dim_inner, name="a_bn", folded_t=T)(x, train=train)
+            x = nn.relu(x)
+            x, _ = FoldedConv3D(
+                self.dim_inner,
+                (1, 3, 3),
+                T,
+                (1, str3x3, str3x3),
+                (0, self.dilation, self.dilation),
+                dtype=self.dtype,
+                name="b",
+            )(x)
+            x = self.norm(self.dim_inner, name="b_bn", folded_t=T)(x, train=train)
+            x = nn.relu(x)
+            x, _ = FoldedConv3D(
+                self.dim_out, (1, 1, 1), T, dtype=self.dtype, name="c"
+            )(x)
+            x = self.norm(
+                self.dim_out,
+                zero_init_gamma=self.zero_init_final_bn,
+                name="c_bn",
+                folded_t=T,
+            )(x, train=train)
+            return x
 
         x = conv3d(
             self.dim_inner,
@@ -287,12 +323,13 @@ class ResBlock(nn.Module):
     zero_init_final_bn: bool = False
     block_idx: int = 0
     drop_connect_rate: float = 0.0
+    folded_t: int = 0
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         trans_cls = TRANS_FUNCS[self.trans_func_name]
-        f_x = trans_cls(
+        trans_kwargs = dict(
             dim_out=self.dim_out,
             temp_kernel_size=self.temp_kernel_size,
             stride=self.stride,
@@ -305,20 +342,38 @@ class ResBlock(nn.Module):
             block_idx=self.block_idx,
             dtype=self.dtype,
             name="branch2",
-        )(x, train=train)
+        )
+        if self.folded_t:
+            trans_kwargs["folded_t"] = self.folded_t
+        f_x = trans_cls(**trans_kwargs)(x, train=train)
 
         if train and self.drop_connect_rate > 0.0:
             f_x = drop_path(f_x, self.drop_connect_rate, self.make_rng("dropout"))
 
         if self.dim_in != self.dim_out or self.stride != 1:
-            shortcut = conv3d(
-                self.dim_out,
-                (1, 1, 1),
-                (1, self.stride, self.stride),
-                dtype=self.dtype,
-                name="branch1",
-            )(x)
-            shortcut = self.norm(self.dim_out, name="branch1_bn")(shortcut, train=train)
+            if self.folded_t:
+                shortcut, _ = FoldedConv3D(
+                    self.dim_out,
+                    (1, 1, 1),
+                    self.folded_t,
+                    (1, self.stride, self.stride),
+                    dtype=self.dtype,
+                    name="branch1",
+                )(x)
+                shortcut = self.norm(
+                    self.dim_out, name="branch1_bn", folded_t=self.folded_t
+                )(shortcut, train=train)
+            else:
+                shortcut = conv3d(
+                    self.dim_out,
+                    (1, 1, 1),
+                    (1, self.stride, self.stride),
+                    dtype=self.dtype,
+                    name="branch1",
+                )(x)
+                shortcut = self.norm(self.dim_out, name="branch1_bn")(
+                    shortcut, train=train
+                )
         else:
             shortcut = x
         return nn.relu(shortcut + f_x)
@@ -371,6 +426,22 @@ class ResStage(nn.Module):
                 : self.num_block_temp_kernel[p]
             ] + [1] * (self.num_blocks[p] - self.num_block_temp_kernel[p])
             x = xs[p]
+            # Small-channel pathways (SlowFast fast path) run the whole
+            # stage in T-folded layout: channels-last tiling pads C to 128
+            # lanes, so C=8..32 tensors waste 4-16x memory bandwidth on
+            # every op. Folding trades padded conv FLOPs for full-width
+            # MXU/VPU utilization.
+            from slowfast_tpu.ops.video_conv import SMALL_C, fold_time, unfold_time
+
+            folded_t = 0
+            if (
+                self.dim_inner[p] < SMALL_C
+                and self.trans_func_name == "bottleneck_transform"
+                and not self.nonlocal_inds[p]
+                and not self.act_checkpoint
+            ):
+                folded_t = x.shape[1]
+                x = fold_time(x)
             for i in range(self.num_blocks[p]):
                 x = block_cls(
                     dim_in=self.dim_in[p] if i == 0 else self.dim_out[p],
@@ -386,10 +457,12 @@ class ResStage(nn.Module):
                     zero_init_final_bn=self.zero_init_final_bn,
                     block_idx=i,
                     drop_connect_rate=self.drop_connect_rate,
+                    folded_t=folded_t,
                     dtype=self.dtype,
                     name=f"pathway{p}_res{i}",
                 )(x, train)
                 if i in self.nonlocal_inds[p]:
+                    assert not folded_t
                     group = self.nonlocal_group[p]
                     if group > 1:
                         # Fold temporal groups into batch (reference :707-724).
@@ -407,5 +480,7 @@ class ResStage(nn.Module):
                     if group > 1:
                         bg, tg, h, w, c = x.shape
                         x = x.reshape(bg // group, tg * group, h, w, c)
+            if folded_t:
+                x = unfold_time(x, folded_t)
             out.append(x)
         return out

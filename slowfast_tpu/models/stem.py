@@ -59,10 +59,9 @@ class ResNetBasicStem(nn.Module):
             y = _conv2d(xf, Wb, (sh, sw), (ph, pw))
             y = self.norm(self.dim_out, name="bn", folded_t=Tout)(y, train=train)
             y = nn.relu(y)
-            y = jax.lax.reduce_window(
-                y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                [(0, 0), (1, 1), (1, 1), (0, 0)],
-            )
+            from slowfast_tpu.ops.video_conv import max_pool_2d_slices
+
+            y = max_pool_2d_slices(y, (3, 3), (2, 2), (1, 1))
             return unfold_time(y, Tout)
 
         x = conv3d(

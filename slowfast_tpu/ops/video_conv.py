@@ -165,21 +165,68 @@ def video_conv(x, w, stride=(1, 1, 1), padding=(0, 0, 0), groups=1,
     return conv3d_taps(x, w, stride, padding, 1, dilation)
 
 
+def max_pool_2d_slices(x, kernel_hw, stride_hw, pad_hw):
+    """Spatial max pool via shifted strided slices + elementwise max.
+
+    XLA TPU's reduce-window lowers poorly here (measured ~10 ms for a
+    ~50 MB pool on v5e vs <1 ms for this formulation, which fuses into
+    plain vector ops). x: (..., H, W, C).
+    """
+    kh, kw = kernel_hw
+    sh, sw = stride_hw
+    ph, pw = pad_hw
+    neg = jnp.asarray(-jnp.inf, jnp.float32).astype(x.dtype)
+    lead = [(0, 0)] * (x.ndim - 3)
+    xp = jnp.pad(x, lead + [(ph, ph), (pw, pw), (0, 0)], constant_values=neg)
+    H = x.shape[-3] + 2 * ph
+    W = x.shape[-2] + 2 * pw
+    Ho = (H - kh) // sh + 1
+    Wo = (W - kw) // sw + 1
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            sl = xp[
+                ...,
+                i : i + (Ho - 1) * sh + 1 : sh,
+                j : j + (Wo - 1) * sw + 1 : sw,
+                :,
+            ]
+            out = sl if out is None else jnp.maximum(out, sl)
+    return out
+
+
 def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
-    """Max pool; small-C tensors pool in T-folded layout for full lanes."""
+    """Max pool; spatial-only pools use the slice formulation, small-C
+    additionally pools in T-folded layout for full lanes."""
     B, T, H, W, C = x.shape
     kt, kh, kw = kernel
-    if kt == 1 and C < SMALL_C:
-        xf = fold_time(x)
-        y = jax.lax.reduce_window(
-            xf,
-            -jnp.inf,
-            jax.lax.max,
-            (1, kh, kw, 1),
-            (1, stride[1], stride[2], 1),
-            [(0, 0), (padding[1], padding[1]), (padding[2], padding[2]), (0, 0)],
+    if kt == 1:
+        if C < SMALL_C:
+            xf = fold_time(x)
+            y = max_pool_2d_slices(
+                xf, (kh, kw), (stride[1], stride[2]), (padding[1], padding[2])
+            )
+            return unfold_time(y, T)
+        y = max_pool_2d_slices(
+            x.reshape(B * T, H, W, C),
+            (kh, kw),
+            (stride[1], stride[2]),
+            (padding[1], padding[2]),
         )
-        return unfold_time(y, T)
+        return y.reshape((B, T) + y.shape[1:])
+    if kh == 1 and kw == 1:
+        # Temporal-only pool (POOL1 [2,1,1]): slices over T.
+        neg = jnp.asarray(-jnp.inf, jnp.float32).astype(x.dtype)
+        xp = jnp.pad(
+            x, [(0, 0), (padding[0], padding[0]), (0, 0), (0, 0), (0, 0)],
+            constant_values=neg,
+        )
+        To = (T + 2 * padding[0] - kt) // stride[0] + 1
+        out = None
+        for d in range(kt):
+            sl = xp[:, d : d + (To - 1) * stride[0] + 1 : stride[0]]
+            out = sl if out is None else jnp.maximum(out, sl)
+        return out
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
@@ -188,3 +235,51 @@ def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
         (1,) + tuple(stride) + (1,),
         [(0, 0)] + [(p, p) for p in padding] + [(0, 0)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Folded-layout convolutions: input/output stay (B, H, W, T*C).
+#
+# Small-channel pathways (SlowFast fast path, C=8..64) waste up to 16x
+# memory bandwidth in channels-last tiling (C pads to 128 lanes). Folding T
+# into channels makes every elementwise/BN/conv op run at full lane width;
+# convs become block-diagonal (spatial) or block-Toeplitz (temporal) dense
+# matmuls — padded FLOPs, but the MXU runs them at full throughput.
+# ---------------------------------------------------------------------------
+
+def _blockdiag_weights(w2d, T):
+    """(kh,kw,C,Co) -> (kh,kw,T*C,T*Co) with per-t identical diagonal blocks."""
+    kh, kw, C, Co = w2d.shape
+    eye = jnp.eye(T, dtype=w2d.dtype)
+    Wb = jnp.einsum("ts,hwio->hwtiso", eye, w2d).reshape(kh, kw, T * C, T * Co)
+    return Wb
+
+
+def folded_conv(xf, w, T, stride=(1, 1, 1), padding=(0, 0, 0), groups=1):
+    """Conv on a folded (B, H, W, T*C) tensor with logical 3D weights.
+
+    Supports spatial-only, temporal-only, and pointwise kernels (the shapes
+    appearing in ResNet-family blocks). Depthwise/grouped kernels fall back
+    to unfold -> video_conv -> fold.
+    """
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    if groups > 1 or (kt > 1 and (kh > 1 or kw > 1)):
+        x = unfold_time(xf, T)
+        y = video_conv(x, w, stride, padding, groups)
+        return fold_time(y), y.shape[1]
+    if kt == 1:
+        Wb = _blockdiag_weights(w[0], T)
+        y = _conv2d(xf, Wb, (sh, sw), (ph, pw))
+        return y, T
+    # temporal-only: pad T inside the folded channel dim via unfold-free
+    # block-Toeplitz weights over the padded extent.
+    B, H, W, TC = xf.shape
+    C = TC // T
+    if pt > 0:
+        # Zero-pad the folded channel dim at block granularity.
+        xf = jnp.pad(xf, [(0, 0), (0, 0), (0, 0), (pt * C, pt * C)])
+    Wb, Tout = _toeplitz_weights(w, T, st, pt)
+    y = _conv2d(xf, Wb[0:1, 0:1].reshape(1, 1, *Wb.shape[2:]), (1, 1), (0, 0))
+    return y, Tout

@@ -64,3 +64,31 @@ def test_max_pool_folded_matches():
     )
     got = max_pool3d_fast(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+FOLDED_CASES = [
+    ((2, 8, 6, 6, 8), (1, 3, 3, 8, 16), (1, 1, 1), (0, 1, 1)),   # spatial
+    ((2, 8, 6, 6, 8), (1, 3, 3, 8, 16), (1, 2, 2), (0, 1, 1)),   # strided spatial
+    ((2, 8, 6, 6, 8), (1, 1, 1, 8, 32), (1, 1, 1), (0, 0, 0)),   # pointwise
+    ((2, 8, 6, 6, 8), (3, 1, 1, 8, 8), (1, 1, 1), (1, 0, 0)),    # temporal
+    ((2, 8, 6, 6, 8), (7, 1, 1, 8, 16), (8, 1, 1), (3, 0, 0)),   # fuse
+]
+
+
+@pytest.mark.parametrize("case", FOLDED_CASES)
+def test_folded_conv_matches_lax(case):
+    from slowfast_tpu.ops.video_conv import fold_time, folded_conv, unfold_time
+
+    shape, kshape, stride, padding = case
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), kshape, jnp.float32) * 0.1
+    ref = _ref_conv(x, w, stride, padding)
+    T = shape[1]
+    xf = fold_time(x)
+    yf, Tout = jax.jit(
+        lambda xf, w: folded_conv(xf, w, T, stride, padding)
+    )(xf, w)
+    got = unfold_time(yf, Tout)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
