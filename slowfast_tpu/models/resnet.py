@@ -406,6 +406,10 @@ class ResStage(nn.Module):
     zero_init_final_bn: bool = False
     drop_connect_rate: float = 0.0
     act_checkpoint: bool = False
+    # Per-pathway: input arrives already folded with this T (0 = NTHWC).
+    in_folded_t: Sequence[int] = ()
+    # Per-pathway: keep the output folded (skip the exit unfold).
+    out_folded: Sequence[bool] = ()
     dtype: Any = None
 
     @nn.compact
@@ -433,8 +437,9 @@ class ResStage(nn.Module):
             # MXU/VPU utilization.
             from slowfast_tpu.ops.video_conv import SMALL_C, fold_time, unfold_time
 
-            folded_t = 0
-            if (
+            in_ft = self.in_folded_t[p] if p < len(self.in_folded_t) else 0
+            folded_t = in_ft
+            if not folded_t and (
                 self.dim_inner[p] < SMALL_C
                 and self.trans_func_name == "bottleneck_transform"
                 and not self.nonlocal_inds[p]
@@ -480,7 +485,8 @@ class ResStage(nn.Module):
                     if group > 1:
                         bg, tg, h, w, c = x.shape
                         x = x.reshape(bg // group, tg * group, h, w, c)
-            if folded_t:
+            keep = p < len(self.out_folded) and self.out_folded[p]
+            if folded_t and not keep:
                 x = unfold_time(x, folded_t)
             out.append(x)
         return out

@@ -28,6 +28,7 @@ class ResNetBasicStem(nn.Module):
     stride: Sequence[int]
     padding: Sequence[int]
     norm: Callable
+    keep_folded: bool = False  # return (B,H,W,T*C) instead of NTHWC
     dtype: Any = None
 
     @nn.compact
@@ -62,6 +63,8 @@ class ResNetBasicStem(nn.Module):
             from slowfast_tpu.ops.video_conv import max_pool_2d_slices
 
             y = max_pool_2d_slices(y, (3, 3), (2, 2), (1, 1))
+            if self.keep_folded:
+                return y
             return unfold_time(y, Tout)
 
         x = conv3d(
@@ -137,6 +140,7 @@ class VideoModelStem(nn.Module):
     padding: Sequence[Sequence[int]]
     norm: Callable
     stem_func_name: str = "basic_stem"
+    keep_folded: Sequence[bool] = ()
     dtype: Any = None
 
     @nn.compact
@@ -149,7 +153,7 @@ class VideoModelStem(nn.Module):
         ]
         out = []
         for p, x in enumerate(xs):
-            stem = stem_cls(
+            kwargs = dict(
                 dim_out=self.dim_out[p],
                 kernel=self.kernel[p],
                 stride=self.stride[p],
@@ -158,6 +162,11 @@ class VideoModelStem(nn.Module):
                 dtype=self.dtype,
                 name=f"pathway{p}_stem",
             )
+            if self.stem_func_name == "basic_stem":
+                kwargs["keep_folded"] = (
+                    p < len(self.keep_folded) and self.keep_folded[p]
+                )
+            stem = stem_cls(**kwargs)
             out.append(stem(x, train=train))
         return out
 

@@ -69,7 +69,9 @@ def compute_dtype(cfg):
 class FuseFastToSlow(nn.Module):
     """Time-strided conv on the fast pathway, concatenated onto slow.
 
-    Reference: video_model_builder.py:112-169.
+    Reference: video_model_builder.py:112-169. ``folded_t`` > 0 means the
+    fast pathway arrives T-folded (B, H, W, T*C) and the fuse conv runs as
+    a block-Toeplitz 1x1 conv without leaving that layout.
     """
 
     dim_in: int  # fast-pathway channels
@@ -77,22 +79,40 @@ class FuseFastToSlow(nn.Module):
     fusion_kernel: int
     alpha: int
     norm: Any
+    folded_t: int = 0
     dtype: Any = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
+        from slowfast_tpu.ops.video_conv import unfold_time
+
         x_s, x_f = xs
+        dim_fuse = self.dim_in * self.fusion_conv_channel_ratio
+        if self.folded_t:
+            from .common import FoldedConv3D
+
+            fuse, t_out = FoldedConv3D(
+                dim_fuse,
+                (self.fusion_kernel, 1, 1),
+                self.folded_t,
+                (self.alpha, 1, 1),
+                (self.fusion_kernel // 2, 0, 0),
+                dtype=self.dtype,
+                name="conv_f2s",
+            )(x_f)
+            fuse = self.norm(dim_fuse, name="bn", folded_t=t_out)(fuse, train=train)
+            fuse = nn.relu(fuse)
+            fuse = unfold_time(fuse, t_out)  # slow T == T/alpha
+            return [jnp.concatenate([x_s, fuse], axis=-1), x_f]
         fuse = conv3d(
-            self.dim_in * self.fusion_conv_channel_ratio,
+            dim_fuse,
             (self.fusion_kernel, 1, 1),
             (self.alpha, 1, 1),
             (self.fusion_kernel // 2, 0, 0),
             dtype=self.dtype,
             name="conv_f2s",
         )(x_f)
-        fuse = self.norm(self.dim_in * self.fusion_conv_channel_ratio, name="bn")(
-            fuse, train=train
-        )
+        fuse = self.norm(dim_fuse, name="bn")(fuse, train=train)
         fuse = nn.relu(fuse)
         return [jnp.concatenate([x_s, fuse], axis=-1), x_f]
 
@@ -125,6 +145,30 @@ class SlowFast(nn.Module):
             else VideoModelStem
         )
 
+        # Fast-pathway folded-layout residency: stages whose fast channels
+        # are small run (and hand off) T-folded tensors; fuses consume them
+        # without leaving the layout. See ops/video_conv.py.
+        from slowfast_tpu.ops.video_conv import SMALL_C, unfold_time
+
+        inners_plan = [dim_inner, dim_inner * 2, dim_inner * 4, dim_inner * 8]
+        can_fold = (
+            cfg.RESNET.TRANS_FUNC == "bottleneck_transform"
+            and not cfg.MODEL.ACT_CHECKPOINT
+            and "s1" not in remat_stages
+        )
+        fold_stage = [
+            can_fold
+            and inners_plan[i] // beta_inv < SMALL_C
+            and not (
+                cfg.NONLOCAL.LOCATION[i][-1]
+                if len(cfg.NONLOCAL.LOCATION[i]) > 1
+                else []
+            )
+            for i in range(4)
+        ]
+        fast_T = cfg.DATA.NUM_FRAMES if xs[1].ndim == 5 else 0
+        stem_fold_fast = bool(can_fold and fold_stage[0])
+
         xs = [x.astype(dtype) for x in xs]
         xs = stem_cls(
             dim_out=[w, w // beta_inv],
@@ -132,19 +176,24 @@ class SlowFast(nn.Module):
             stride=[[1, 2, 2]] * 2,
             padding=[[tk[0][0][0] // 2, 3, 3], [tk[0][1][0] // 2, 3, 3]],
             norm=norm,
+            keep_folded=(False, stem_fold_fast),
             dtype=dtype,
             name="s1",
         )(xs, train)
+        fast_ft = fast_T if stem_fold_fast else 0
         xs = FuseFastToSlow(
             w // beta_inv,
             cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO,
             cfg.SLOWFAST.FUSION_KERNEL_SZ,
             cfg.SLOWFAST.ALPHA,
             norm=norm,
+            folded_t=fast_ft,
             dtype=dtype,
             name="s1_fuse",
         )(xs, train=train)
         if trunc == "s1":
+            if fast_ft:
+                xs = [xs[0], unfold_time(xs[1], fast_ft)]
             return xs
 
         # Per-stage channel schedule (reference :246-367): slow input includes
@@ -169,6 +218,8 @@ class SlowFast(nn.Module):
                 else ResStage
             )
             xs = stage_cls(
+                in_folded_t=(0, fast_ft),
+                out_folded=(False, bool(fold_stage[i])),
                 dim_in=stage_dims[i]["dim_in"],
                 dim_out=stage_dims[i]["dim_out"],
                 dim_inner=stage_dims[i]["dim_inner"],
@@ -203,6 +254,7 @@ class SlowFast(nn.Module):
                 dtype=dtype,
                 name=f"s{i + 2}",
             )(xs, train)
+            fast_ft = fast_T if fold_stage[i] else 0
             if i < 3:
                 xs = FuseFastToSlow(
                     stage_dims[i]["dim_out"][1],
@@ -210,18 +262,31 @@ class SlowFast(nn.Module):
                     cfg.SLOWFAST.FUSION_KERNEL_SZ,
                     cfg.SLOWFAST.ALPHA,
                     norm=norm,
+                    folded_t=fast_ft,
                     dtype=dtype,
                     name=f"s{i + 2}_fuse",
                 )(xs, train=train)
+                # Unfold before the next stage if it won't run folded.
+                if fast_ft and not fold_stage[i + 1]:
+                    xs = [xs[0], unfold_time(xs[1], fast_ft)]
+                    fast_ft = 0
+            elif fast_ft:
+                xs = [xs[0], unfold_time(xs[1], fast_ft)]
+                fast_ft = 0
             if i == 0:
                 # Post-res2 temporal pooling (identity for slowfast's [1,1,1]).
+                assert not fast_ft or not any(
+                    k > 1 for k in pool_size[1]
+                ), "folded fast pathway assumes no post-res2 temporal pooling"
                 xs = [
                     max_pool3d(x, pool_size[p], pool_size[p])
-                    if any(k > 1 for k in pool_size[p])
+                    if any(k > 1 for k in pool_size[p]) and not (p == 1 and fast_ft)
                     else x
                     for p, x in enumerate(xs)
                 ]
             if trunc == f"s{i + 2}":
+                if fast_ft:
+                    return [xs[0], unfold_time(xs[1], fast_ft)]
                 return xs
 
         head_dim_in = [w * 32, w * 32 // beta_inv]
