@@ -439,8 +439,14 @@ class ResStage(nn.Module):
 
             in_ft = self.in_folded_t[p] if p < len(self.in_folded_t) else 0
             folded_t = in_ft
+            # Fold only deeply-underfilled pathways (C < 32: >=4x lane
+            # waste); at moderate C the block-diag padded FLOPs outweigh
+            # the bandwidth win (measured: threshold 128 regressed 153 ->
+            # 138 clips/s on SlowFast-R50).
             if not folded_t and (
                 self.dim_inner[p] < SMALL_C
+                and x.ndim == 5
+                and x.shape[1] > 1
                 and self.trans_func_name == "bottleneck_transform"
                 and not self.nonlocal_inds[p]
                 and not self.act_checkpoint
