@@ -141,3 +141,6 @@ class Charades:
             np.zeros((1,)),
             {},
         )
+
+
+DATASET_REGISTRY.register(Charades, name="Ptvcharades")

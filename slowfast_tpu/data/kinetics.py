@@ -298,3 +298,8 @@ class Syntheticvideo:
             np.zeros((1,)),
             {},
         )
+
+
+# The reference's pytorchvideo-backed dataset variants (Ptvkinetics etc.,
+# reference ptv_datasets.py:133-427) map to the native datasets here.
+DATASET_REGISTRY.register(Kinetics, name="Ptvkinetics")

@@ -145,3 +145,6 @@ class Ssv2:
             np.zeros((1,)),
             {},
         )
+
+
+DATASET_REGISTRY.register(Ssv2, name="Ptvssv2")
