@@ -73,52 +73,48 @@ def _rel_dist(q_size, k_size):
     return jnp.asarray(dist.astype(np.int64))
 
 
-def add_rel_pos_spatial(attn, q, has_cls, q_shape, k_shape, rel_pos_h, rel_pos_w):
-    """Decomposed spatial rel-pos bias (reference attention.py:64-108)."""
+def rel_pos_bias(
+    q, has_cls, q_shape, k_shape,
+    rel_pos_h=None, rel_pos_w=None, rel_pos_t=None,
+):
+    """Combined decomposed rel-pos bias, built flat in ONE fused pass.
+
+    Equivalent to the reference's sequential spatial+temporal updates
+    (attention.py:64-147) but without slicing/scattering the attention
+    matrix: the (Nq, Nk) bias is assembled from the three rank-structured
+    einsum terms and zero-padded for the cls row/col (cls gets +0 in the
+    reference too, since updates only touch attn[..., sp:, sp:]).
+    Avoids the f32 dynamic-update-slice copies of the full attention
+    matrix (~6.5 ms each at MViTv2-S block sizes on v5e).
+    """
     sp = 1 if has_cls else 0
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
-    Rh = _resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_dist(q_h, k_h)]
-    Rw = _resize_rel_pos(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_dist(q_w, k_w)]
-
     B, nh = q.shape[:2]
     r_q = q[:, :, sp:].reshape(B, nh, q_t, q_h, q_w, -1)
-    rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(r_q.dtype))
-    rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(r_q.dtype))
 
-    core = attn[:, :, sp:, sp:].reshape(B, nh, q_t, q_h, q_w, k_t, k_h, k_w)
-    core = (
-        core
-        + rel_h[:, :, :, :, :, None, :, None]
-        + rel_w[:, :, :, :, :, None, None, :]
+    terms = []
+    if rel_pos_h is not None:
+        Rh = _resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_dist(q_h, k_h)]
+        Rw = _resize_rel_pos(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_dist(q_w, k_w)]
+        rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(r_q.dtype))
+        rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(r_q.dtype))
+        terms.append(rel_h[:, :, :, :, :, None, :, None])
+        terms.append(rel_w[:, :, :, :, :, None, None, :])
+    if rel_pos_t is not None:
+        Rt = _resize_rel_pos(rel_pos_t, 2 * max(q_t, k_t) - 1)[_rel_dist(q_t, k_t)]
+        rel_t = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(r_q.dtype))
+        terms.append(rel_t[:, :, :, :, :, :, None, None])
+
+    bias = terms[0]
+    for t in terms[1:]:
+        bias = bias + t
+    bias = jnp.broadcast_to(
+        bias, (B, nh, q_t, q_h, q_w, k_t, k_h, k_w)
     ).reshape(B, nh, q_t * q_h * q_w, k_t * k_h * k_w)
     if sp:
-        attn = attn.at[:, :, sp:, sp:].set(core)
-    else:
-        attn = core
-    return attn
-
-
-def add_rel_pos_temporal(attn, q, has_cls, q_shape, k_shape, rel_pos_t):
-    """Temporal rel-pos bias (reference attention.py:111-147)."""
-    sp = 1 if has_cls else 0
-    q_t, q_h, q_w = q_shape
-    k_t, k_h, k_w = k_shape
-    Rt = _resize_rel_pos(rel_pos_t, 2 * max(q_t, k_t) - 1)[_rel_dist(q_t, k_t)]
-
-    B, nh = q.shape[:2]
-    r_q = q[:, :, sp:].reshape(B, nh, q_t, q_h, q_w, -1)
-    rel = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(r_q.dtype))
-
-    core = attn[:, :, sp:, sp:].reshape(B, nh, q_t, q_h, q_w, k_t, k_h, k_w)
-    core = (core + rel[:, :, :, :, :, :, None, None]).reshape(
-        B, nh, q_t * q_h * q_w, k_t * k_h * k_w
-    )
-    if sp:
-        attn = attn.at[:, :, sp:, sp:].set(core)
-    else:
-        attn = core
-    return attn
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (sp, 0), (sp, 0)))
+    return bias
 
 
 class MultiScaleAttention(nn.Module):
@@ -251,29 +247,25 @@ class MultiScaleAttention(nn.Module):
         attn = jnp.einsum(
             "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
+        rel_pos_h = rel_pos_w = rel_pos_t = None
+        init = nn.initializers.zeros if self.rel_pos_zero_init else trunc02
         if self.rel_pos_spatial:
             rel_sp_dim = 2 * max(
                 self.input_size[1] // (self.stride_q[1] if self.stride_q else 1),
                 self.input_size[1] // (self.stride_kv[1] if self.stride_kv else 1),
             ) - 1
-            init = (
-                nn.initializers.zeros if self.rel_pos_zero_init else trunc02
-            )
             rel_pos_h = self.param("rel_pos_h", init, (rel_sp_dim, head_dim))
             rel_pos_w = self.param("rel_pos_w", init, (rel_sp_dim, head_dim))
-            attn = add_rel_pos_spatial(
-                attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_h, rel_pos_w
-            )
         if self.rel_pos_temporal:
-            init = (
-                nn.initializers.zeros if self.rel_pos_zero_init else trunc02
-            )
             rel_pos_t = self.param(
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim)
             )
-            attn = add_rel_pos_temporal(
-                attn, q, self.has_cls_embed, q_shape, k_shape, rel_pos_t
+        if self.rel_pos_spatial or self.rel_pos_temporal:
+            bias = rel_pos_bias(
+                q, self.has_cls_embed, q_shape, k_shape,
+                rel_pos_h=rel_pos_h, rel_pos_w=rel_pos_w, rel_pos_t=rel_pos_t,
             )
+            attn = attn + bias.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
 
         x = jnp.einsum("bhqk,bhkc->bhqc", attn, v, preferred_element_type=jnp.float32)

@@ -260,9 +260,14 @@ class MViT(nn.Module):
                 name="head",
             )(x, train=train)
 
+        block_cls = (
+            nn.remat(MultiScaleBlock, static_argnums=(3,))
+            if cfg.MODEL.ACT_CHECKPOINT
+            else MultiScaleBlock
+        )
         for i in range(depth):
             blk = blocks[i]
-            x, thw = MultiScaleBlock(
+            x, thw = block_cls(
                 dim=blk["dim"],
                 dim_out=blk["dim_out"],
                 num_heads=blk["num_heads"],
@@ -287,7 +292,7 @@ class MViT(nn.Module):
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
                 dtype=dtype,
                 name=f"blocks_{i}",
-            )(x, thw, deterministic=not train)
+            )(x, thw, not train)
             if blk["stride_q"]:
                 input_size = [
                     size // stride for size, stride in zip(input_size, blk["stride_q"])
