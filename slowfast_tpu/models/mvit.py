@@ -261,13 +261,13 @@ class MViT(nn.Module):
             )(x, train=train)
 
         block_cls = (
-            nn.remat(MultiScaleBlock, static_argnums=(3,))
+            nn.remat(MultiScaleBlock, static_argnums=(2, 3))
             if cfg.MODEL.ACT_CHECKPOINT
             else MultiScaleBlock
         )
         for i in range(depth):
             blk = blocks[i]
-            x, thw = block_cls(
+            x, _thw_out = block_cls(
                 dim=blk["dim"],
                 dim_out=blk["dim_out"],
                 num_heads=blk["num_heads"],
@@ -292,8 +292,10 @@ class MViT(nn.Module):
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
                 dtype=dtype,
                 name=f"blocks_{i}",
-            )(x, thw, not train)
+            )(x, tuple(thw), not train)
+            # Track thw statically (remat boxes returned python ints).
             if blk["stride_q"]:
+                thw = [size // stride for size, stride in zip(thw, blk["stride_q"])]
                 input_size = [
                     size // stride for size, stride in zip(input_size, blk["stride_q"])
                 ]
