@@ -54,10 +54,15 @@ def detection_collate(samples):
 
 def _stack_inputs(inputs_list):
     num_pathways = len(inputs_list[0])
-    return [
-        np.stack([inp[p] for inp in inputs_list]).astype(np.float32)
-        for p in range(num_pathways)
-    ]
+    out = []
+    for p in range(num_pathways):
+        x = np.stack([inp[p] for inp in inputs_list])
+        # uint8 passes through untouched (4x smaller host->device transfer;
+        # ops/preprocess.device_preprocess normalizes on-chip).
+        if x.dtype != np.uint8:
+            x = x.astype(np.float32)
+        out.append(x)
+    return out
 
 
 def ssl_collate(samples):
