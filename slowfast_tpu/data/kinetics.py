@@ -157,20 +157,43 @@ class Kinetics:
                 f"Failed to fetch video after {self._num_retries} retries."
             )
 
-        # SSL two-view mode: two independently augmented clips
-        # (reference multi-clip sampling, kinetics.py:359-464).
+        # SSL multi-view mode: TRAIN_CROP_NUM_TEMPORAL independently decoded
+        # temporal windows x TRAIN_CROP_NUM_SPATIAL independent augmentations
+        # each, min 2 views (reference multi-clip sampling,
+        # kinetics.py:239-464 with DATA.TRAIN_CROP_NUM_*).
         if (
             cfg.MODEL.MODEL_NAME == "ContrastiveModel"
             and self.mode == "train"
         ):
-            v1 = self._process_clip(
-                frames, spatial_sample_index, min_scale, max_scale, crop_size
-            )
-            v2 = self._process_clip(
-                frames, spatial_sample_index, min_scale, max_scale, crop_size
-            )
+            n_t = max(cfg.DATA.TRAIN_CROP_NUM_TEMPORAL, 1)
+            n_s = max(cfg.DATA.TRAIN_CROP_NUM_SPATIAL, 1)
+            if n_t * n_s < 2:
+                n_s = 2
+            views = []
+            for t in range(n_t):
+                if t == 0:
+                    t_frames = frames
+                else:
+                    # Fresh random temporal window for each extra view.
+                    result = decoder.decode(
+                        self._path_to_videos[index],
+                        sampling_rate,
+                        cfg.DATA.NUM_FRAMES,
+                        clip_idx=-1,
+                        num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                        target_fps=cfg.DATA.TARGET_FPS,
+                        use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                    )
+                    t_frames = result[0] if result is not None else frames
+                for _ in range(n_s):
+                    views.append(
+                        self._process_clip(
+                            t_frames, spatial_sample_index, min_scale,
+                            max_scale, crop_size,
+                        )
+                    )
             label = self._labels[index]
-            return [v1, v2], label, index, np.zeros((1,)), {}
+            return views, label, index, np.zeros((1,)), {}
 
         frames = self._process_clip(
             frames, spatial_sample_index, min_scale, max_scale, crop_size

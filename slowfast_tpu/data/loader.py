@@ -66,13 +66,18 @@ def _stack_inputs(inputs_list):
 
 
 def ssl_collate(samples):
-    """Two-view collate: sample[0] is [view1_pathways, view2_pathways]."""
-    v1 = _stack_inputs([s[0][0] for s in samples])
-    v2 = _stack_inputs([s[0][1] for s in samples])
+    """Multi-view collate: sample[0] is [view1_pathways, view2_pathways, ...].
+
+    Returns a tuple of per-view stacked pathway lists (>=2 views; extra
+    views beyond the first two feed SwAV-style multi-crop objectives)."""
+    n_views = len(samples[0][0])
+    views = tuple(
+        _stack_inputs([s[0][v] for s in samples]) for v in range(n_views)
+    )
     labels = np.asarray([s[1] for s in samples])
     index = np.asarray([s[2] for s in samples], np.int64)
     time_arr = np.stack([np.asarray(s[3]) for s in samples])
-    return (v1, v2), labels, index, time_arr, {}
+    return views, labels, index, time_arr, {}
 
 
 def default_collate(samples):

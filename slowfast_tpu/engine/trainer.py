@@ -132,7 +132,7 @@ def train_ssl(cfg):
     for cur_epoch in range(cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         for cur_iter, (views, labels, index, times, meta) in enumerate(train_loader):
-            v1, v2 = views
+            v1, v2 = views[0], views[1]
             batch = {
                 "inputs": [jnp.asarray(x) for x in v1],
                 "inputs2": [jnp.asarray(x) for x in v2],

@@ -18,6 +18,33 @@ from .logging import log_json_stats
 logger = logging_utils.get_logger(__name__)
 
 
+def gather_ragged_across_hosts(x):
+    """Gather per-host ragged row blocks onto every host.
+
+    The TPU-native form of the reference's all_gather_unaligned
+    (slowfast/utils/distributed.py:21-66): each host contributes a
+    different number of rows (AVA predictions/boxes), so lengths are
+    allgathered first, blocks padded to the max, gathered, and unpadded.
+    No-op on a single host.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils as mhu
+
+    x = np.asarray(x)
+    counts = np.asarray(
+        mhu.process_allgather(np.asarray([x.shape[0]], np.int32))
+    ).reshape(-1)
+    m = int(counts.max())
+    pad = np.zeros((m - x.shape[0],) + x.shape[1:], x.dtype)
+    gathered = np.asarray(mhu.process_allgather(np.concatenate([x, pad], 0)))
+    return np.concatenate(
+        [gathered[i, : counts[i]] for i in range(len(counts))], axis=0
+    )
+
+
 def gpu_mem_usage():
     """Device memory in GB (best effort)."""
     try:
@@ -499,9 +526,17 @@ class AVAMeter:
     def finalize_metrics(self, log=True):
         from . import ava_eval
 
-        all_preds = np.concatenate(self.all_preds, axis=0)
-        all_boxes = np.concatenate(self.all_ori_boxes, axis=0)
-        all_meta = np.concatenate(self.all_metadata, axis=0)
+        # Multi-host eval: every host evaluated a disjoint shard of the
+        # videos; gather everyone's (ragged) predictions before scoring.
+        all_preds = gather_ragged_across_hosts(
+            np.concatenate(self.all_preds, axis=0)
+        )
+        all_boxes = gather_ragged_across_hosts(
+            np.concatenate(self.all_ori_boxes, axis=0)
+        )
+        all_meta = gather_ragged_across_hosts(
+            np.concatenate(self.all_metadata, axis=0)
+        )
         self.full_map = ava_eval.evaluate_ava(
             all_preds,
             all_boxes,
