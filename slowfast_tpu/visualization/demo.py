@@ -159,10 +159,80 @@ class Predictor:
         return task
 
 
+class AsyncPredictor:
+    """Pipelined predictor (reference's async multi-process AsyncDemo,
+    predictor.py:115-261, re-designed for TPU).
+
+    The reference forks worker processes to parallelize GPU inference.
+    Under JAX one jitted predictor saturates the chip and dispatch is
+    already asynchronous, so the TPU-native form is a two-stage pipeline:
+    a worker thread runs host-side preprocessing + device dispatch for
+    clip k+1 while the consumer draws/display clip k. In-order results,
+    bounded queues (backpressure instead of unbounded lag on webcams).
+    """
+
+    def __init__(self, cfg, num_inflight=2, predictor=None):
+        import queue as _q
+        import threading
+
+        self._pred = predictor if predictor is not None else Predictor(cfg)
+        self._in = _q.Queue(maxsize=num_inflight)
+        self._out = _q.Queue(maxsize=num_inflight)
+        self._stop = object()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            task = self._in.get()
+            if task is self._stop:
+                self._out.put(self._stop)
+                return
+            try:
+                self._out.put(self._pred(task))
+            except Exception as e:  # surface to consumer
+                self._out.put(e)
+
+    def put(self, task):
+        self._in.put(task)
+
+    def get(self):
+        item = self._out.get()
+        if isinstance(item, Exception):
+            raise item
+        return None if item is self._stop else item
+
+    def shutdown(self):
+        self._in.put(self._stop)
+
+    def run(self, tasks):
+        """Iterate predictions over `tasks` with one clip in flight."""
+        import itertools
+
+        it = iter(tasks)
+        pending = 0
+        for task in itertools.islice(it, 1):
+            self.put(task)
+            pending += 1
+        for task in it:
+            self.put(task)
+            pending += 1
+            yield self.get()
+            pending -= 1
+        while pending:
+            yield self.get()
+            pending -= 1
+
+
 def run_demo(cfg, frame_provider):
     """(reference demo_net.py:21-91)"""
     np.random.seed(cfg.RNG_SEED)
-    predictor = Predictor(cfg)
+    async_mode = getattr(cfg.DEMO, "NUM_VIS_INSTANCES", 1) > 1
+    predictor = (
+        AsyncPredictor(cfg, num_inflight=cfg.DEMO.NUM_VIS_INSTANCES)
+        if async_mode
+        else Predictor(cfg)
+    )
     vis = VideoVisualizer(
         num_classes=cfg.MODEL.NUM_CLASSES,
         class_names_path=cfg.DEMO.LABEL_FILE_PATH,
@@ -172,13 +242,18 @@ def run_demo(cfg, frame_provider):
         common_class_names=cfg.DEMO.COMMON_CLASS_NAMES,
         mode=cfg.DEMO.VIS_MODE,
     )
-    for task in frame_provider:
-        task = predictor(task)
+    if async_mode:
+        task_iter = predictor.run(frame_provider)
+    else:
+        task_iter = (predictor(t) for t in frame_provider)
+    for task in task_iter:
         task.frames = vis.draw_clip_range(
             task.frames, task.action_preds, bboxes=task.bboxes
         )
         frame_provider.display(task)
         yield task
+    if async_mode:
+        predictor.shutdown()
 
 
 def demo(cfg):
