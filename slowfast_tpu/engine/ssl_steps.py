@@ -164,21 +164,44 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                 return loss, (stats2, q1)
 
         elif ssl_type == "swav":
+            swav_queue_len = cfg.CONTRASTIVE.SWAV_QEUE_LEN
+
             def loss_fn(params):
                 q1, stats1 = encode(params, state.batch_stats, batch["inputs"], r1)
                 q2, stats2 = encode(params, stats1, batch["inputs2"], r2)
                 variables = {"params": params}
                 s1 = model.apply(variables, q1, method=ContrastiveModel.prototypes)
                 s2 = model.apply(variables, q2, method=ContrastiveModel.prototypes)
-                code1 = jax.lax.stop_gradient(sinkhorn(s1.astype(jnp.float32)))
-                code2 = jax.lax.stop_gradient(sinkhorn(s2.astype(jnp.float32)))
+
+                def codes(s, view):
+                    s = s.astype(jnp.float32)
+                    if swav_queue_len <= 0:
+                        return jax.lax.stop_gradient(sinkhorn(s))
+                    # Queue-augmented assignment (reference :611-630): once
+                    # the queue is warm, past embeddings join the sinkhorn
+                    # problem; only the batch rows' codes are used.
+                    B = s.shape[0]
+                    sq = model.apply(
+                        variables,
+                        jax.lax.stop_gradient(ssl["queue_swav"][view]),
+                        method=ContrastiveModel.prototypes,
+                    ).astype(jnp.float32)
+                    full = sinkhorn(jnp.concatenate([sq, s], axis=0))[-B:]
+                    plain = sinkhorn(s)
+                    warm = ssl["swav_filled"] >= swav_queue_len
+                    return jax.lax.stop_gradient(
+                        jnp.where(warm, full, plain)
+                    )
+
+                code1 = codes(s1, 0)
+                code2 = codes(s2, 1)
                 p1 = jax.nn.log_softmax(s1.astype(jnp.float32) / 0.1, axis=1)
                 p2 = jax.nn.log_softmax(s2.astype(jnp.float32) / 0.1, axis=1)
                 loss = -0.5 * (
                     jnp.mean(jnp.sum(code2 * p1, axis=1))
                     + jnp.mean(jnp.sum(code1 * p2, axis=1))
                 )
-                return loss, (stats2, q1)
+                return loss, (stats2, (q1, q2))
 
         elif ssl_type == "mem":
             def loss_fn(params):
@@ -201,11 +224,54 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         (loss, (new_stats, q)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        q2_swav = None
+        if ssl_type == "swav":
+            q, q2_swav = q
+
+        epoch_exact = state.step.astype(jnp.float32) / steps_per_epoch
+
+        # contrastive_parameter_surgery (reference contrastive.py:1031-1055).
+        if ssl_type == "swav":
+            # Freeze prototypes during the first epoch.
+            frozen = (epoch_exact <= 1.0).astype(jnp.float32)
+            if "swav_prototypes" in grads:
+                grads = dict(grads)
+                grads["swav_prototypes"] = jax.tree_util.tree_map(
+                    lambda g: g * (1.0 - frozen), grads["swav_prototypes"]
+                )
+
         grad_norm = get_grad_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates
         )
+
+        if ssl_type == "moco" and cfg.TRAIN.BATCH_SIZE > 0:
+            # MoCo queue warmup: no parameter updates for the first
+            # QUEUE_LEN/global_batch iterations of epoch 0.
+            iters_noupdate = cfg.CONTRASTIVE.QUEUE_LEN // cfg.TRAIN.BATCH_SIZE
+            upd = jnp.logical_or(
+                state.step >= iters_noupdate, epoch_exact >= 1.0
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(upd, n, o), new_params, state.params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(upd, n, o) if hasattr(n, "shape") else n,
+                new_opt_state,
+                state.opt_state,
+            )
+
+        if ssl_type == "swav" and "swav_prototypes" in new_params:
+            # Renormalize prototype columns after the update (reference
+            # public-code path :587-592 normalizes weights each step).
+            proto = dict(new_params["swav_prototypes"])
+            k = proto["kernel"]
+            proto["kernel"] = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=0, keepdims=True), 1e-12
+            )
+            new_params = dict(new_params)
+            new_params["swav_prototypes"] = proto
 
         # SSL state updates (reference contrastive_parameter_surgery + hooks).
         if ssl_type in ("moco", "byol"):
@@ -216,6 +282,20 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             ssl["queue_x"], ssl["ptr"] = dequeue_and_enqueue(
                 ssl["queue_x"], ssl["ptr"], keys
             )
+        if ssl_type == "swav" and "queue_swav" in ssl:
+            # Shift-in this batch's embeddings per view (reference :625-630).
+            B = q.shape[0]
+            L = ssl["queue_swav"].shape[1]
+            new_rows = jnp.stack(
+                [
+                    jax.lax.stop_gradient(q).astype(jnp.float32),
+                    jax.lax.stop_gradient(q2_swav).astype(jnp.float32),
+                ]
+            )
+            ssl["queue_swav"] = jnp.concatenate(
+                [new_rows, ssl["queue_swav"][:, : L - B]], axis=1
+            )
+            ssl["swav_filled"] = jnp.minimum(ssl["swav_filled"] + B, L)
         if ssl_type == "mem" and index is not None:
             ssl["memory"] = memory_update(
                 ssl["memory"], index, jax.lax.stop_gradient(q), 0.5

@@ -130,6 +130,14 @@ def init_ssl_state(cfg, params, rng):
             - 1.0
         ) * stdv
         state["ptr"] = jnp.zeros((), jnp.int32)
+    if t == "swav" and cfg.CONTRASTIVE.SWAV_QEUE_LEN > 0:
+        # Per-view embedding queue feeding sinkhorn once warm
+        # (reference contrastive.py:106-116, 611-630).
+        state["queue_swav"] = jnp.zeros(
+            (2, cfg.CONTRASTIVE.SWAV_QEUE_LEN, cfg.CONTRASTIVE.DIM),
+            jnp.float32,
+        )
+        state["swav_filled"] = jnp.zeros((), jnp.int32)
     if t == "mem" or cfg.CONTRASTIVE.KNN_ON:
         stdv = 1.0 / jnp.sqrt(cfg.CONTRASTIVE.DIM / 3.0)
         state["memory"] = (

@@ -83,3 +83,61 @@ def test_ssl_step_runs(ssl_type):
         h = jax.tree.leaves(state.ssl_state["hist_params"])[0]
         p = jax.tree.leaves(state.params["backbone"])[0]
         assert not np.allclose(np.asarray(h), np.asarray(p))
+
+
+def test_swav_queue_and_prototype_surgery():
+    cfg = _ssl_cfg("swav")
+    cfg.CONTRASTIVE.SWAV_QEUE_LEN = 8
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    proto0 = np.asarray(state.params["swav_prototypes"]["kernel"])
+
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10, donate=False)
+    batch = _batch(cfg)
+    for i in range(3):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+    # Queue warmed by 3 batches of 4 (capped at 8) and holds embeddings.
+    assert int(state.ssl_state["swav_filled"]) == 8
+    qv = np.asarray(state.ssl_state["queue_swav"])
+    assert qv.shape == (2, 8, cfg.CONTRASTIVE.DIM)
+    assert np.abs(qv).sum() > 0
+    # Prototypes frozen during epoch <= 1 (steps 0-2 are epoch 0): the
+    # kernel may only change by the post-update renormalization.
+    proto3 = np.asarray(state.params["swav_prototypes"]["kernel"])
+    norm0 = proto0 / np.linalg.norm(proto0, axis=0, keepdims=True)
+    np.testing.assert_allclose(proto3, norm0, atol=1e-5)
+    # Columns are unit-norm after the renorm surgery.
+    np.testing.assert_allclose(
+        np.linalg.norm(proto3, axis=0), 1.0, atol=1e-5
+    )
+
+
+def test_moco_queue_warmup_blocks_updates():
+    cfg = _ssl_cfg("moco")
+    cfg.CONTRASTIVE.QUEUE_LEN = 64
+    cfg.TRAIN.BATCH_SIZE = 4  # -> 16 warmup iterations
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=100)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    p0 = np.asarray(jax.tree.leaves(state.params["backbone"])[0])
+
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=100, donate=False)
+    batch = _batch(cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    # Step 0 < 16 warmup iters: parameters must be unchanged.
+    p1 = np.asarray(jax.tree.leaves(state.params["backbone"])[0])
+    np.testing.assert_array_equal(p0, p1)
