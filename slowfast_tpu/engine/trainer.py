@@ -25,6 +25,7 @@ from slowfast_tpu.solver.optimizer import construct_optimizer
 from slowfast_tpu.utils import checkpoint as cu
 from slowfast_tpu.utils import logging as logging_utils
 from slowfast_tpu.utils import metrics
+from slowfast_tpu.utils import misc
 from slowfast_tpu.utils.meters import AVAMeter, EpochTimer, TrainMeter, ValMeter
 
 logger = logging_utils.get_logger(__name__)
@@ -148,6 +149,20 @@ def train_ssl(cfg):
         train_meter.reset()
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if cfg.CONTRASTIVE.KNN_ON and misc.is_eval_epoch(cfg, cur_epoch):
+            # Online kNN probe against the instance memory bank
+            # (reference train_net.py eval hooks + contrastive eval_knn).
+            from slowfast_tpu.engine.ssl_steps import knn_eval
+
+            val_loader = construct_loader(cfg, "val")
+            train_labels = np.asarray(
+                getattr(train_loader.dataset, "_labels", []), np.int64
+            )
+            acc = knn_eval(cfg, model, state, train_labels, val_loader)
+            if acc is not None:
+                logger.info(
+                    "knn eval epoch %d: top1 %.2f%%", cur_epoch + 1, acc
+                )
     logger.info("ssl training done")
     return state
 
