@@ -275,7 +275,10 @@ class Syntheticvideo:
     def __init__(self, cfg, mode, num_retries=1):
         self.cfg = cfg
         self.mode = mode
-        self._size = 256 if mode == "train" else 64
+        # DATA.SYNTHETIC_SIZE (optional, 0 = default sizing) controls the
+        # set size so integration tests can run a few-step epoch.
+        override = getattr(cfg.DATA, "SYNTHETIC_SIZE", 0)
+        self._size = override or (256 if mode == "train" else 64)
         self._rng = np.random.RandomState(0)
         if mode == "test":
             self._num_clips = (
