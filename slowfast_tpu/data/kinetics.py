@@ -316,9 +316,26 @@ class Syntheticvideo:
         rng = np.random.RandomState(index)
         frames = rng.randint(0, 255, (t, crop, crop, 3), np.uint8)
         frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        inputs = data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+        if cfg.DETECTION.ENABLE:
+            # Synthetic detection sample: 1-5 boxes with multi-hot labels,
+            # matching the AVA dataset item contract (ava_dataset.py).
+            n = int(rng.randint(1, 6))
+            xy1 = rng.rand(n, 2) * (crop / 2)
+            wh = rng.rand(n, 2) * (crop / 2) + 2.0
+            boxes = np.concatenate([xy1, xy1 + wh], axis=1).astype(np.float32)
+            labels = (
+                rng.rand(n, cfg.MODEL.NUM_CLASSES) < 0.2
+            ).astype(np.float32)
+            meta = {
+                "boxes": boxes,
+                "ori_boxes": boxes / crop,
+                "metadata": [[index, 900 + index]] * n,
+            }
+            return inputs, labels, index, np.zeros((1,)), meta
         label = int(rng.randint(0, cfg.MODEL.NUM_CLASSES))
         return (
-            data_utils.pack_pathway_output(cfg, frames.astype(np.float32)),
+            inputs,
             label,
             index,
             np.zeros((1,)),

@@ -26,30 +26,60 @@ from . import kinetics  # noqa: F401
 from . import ssv2  # noqa: F401
 
 
+_BOX_BUCKETS = (4, 8, 16, 32)
+
+
+def _box_bucket(n):
+    """Smallest static box-count bucket >= n (powers of two, capped).
+
+    XLA compiles one program per distinct shape; bucketing the per-sample
+    box count to a handful of sizes keeps the detection train step at a
+    fixed small number of compilations instead of one per box count
+    (reference keeps ragged (sum_boxes, 5) tensors, loader.py:48-83 —
+    fine on GPU, pathological under jit)."""
+    for b in _BOX_BUCKETS:
+        if n <= b:
+            return b
+    return int(-(-n // _BOX_BUCKETS[-1]) * _BOX_BUCKETS[-1])
+
+
 def detection_collate(samples):
-    """Variable-box collate: concat boxes with batch index prepended
-    (reference loader.py:48-83). Returns padded host arrays."""
+    """Static-shape detection collate: boxes/labels padded per sample to a
+    bucketed max with a validity mask.
+
+    Preserves the reference's semantics (loader.py:48-83: every real box is
+    one training row) via the mask; ragged host-side arrays (ori_boxes,
+    metadata with batch index prepended) are kept for the AVA meter and
+    never enter jit.
+    """
     inputs = _stack_inputs([s[0] for s in samples])
-    labels = [s[1] for s in samples]
+    labels = [np.atleast_2d(np.asarray(s[1], np.float32)) for s in samples]
     index = np.asarray([s[2] for s in samples], np.int64)
     time_arr = np.stack([np.asarray(s[3]) for s in samples])
     metas = [s[4] for s in samples]
 
-    all_boxes, all_box_labels, ori_boxes, metadata = [], [], [], []
+    B = len(samples)
+    max_boxes = _box_bucket(max(m["boxes"].shape[0] for m in metas))
+    num_classes = labels[0].shape[1]
+    boxes = np.zeros((B, max_boxes, 4), np.float32)
+    box_mask = np.zeros((B, max_boxes), np.float32)
+    padded_labels = np.zeros((B, max_boxes, num_classes), np.float32)
+    ori_boxes, metadata = [], []
     for i, meta in enumerate(metas):
-        boxes = meta["boxes"]
-        for j in range(boxes.shape[0]):
-            all_boxes.append([i] + list(boxes[j]))
+        n = meta["boxes"].shape[0]
+        boxes[i, :n] = meta["boxes"][:n]
+        box_mask[i, :n] = 1.0
+        padded_labels[i, :n] = labels[i][:n]
+        for j in range(n):
             ori_boxes.append([i] + list(meta["ori_boxes"][j]))
             metadata.append(meta["metadata"][j] if "metadata" in meta else [0, 0])
-        all_box_labels.append(np.asarray(labels[i]))
     extra = {
-        "boxes": np.asarray(all_boxes, np.float32),
+        "boxes": boxes,
+        "box_mask": box_mask,
         "ori_boxes": np.asarray(ori_boxes, np.float32),
         "metadata": np.asarray(metadata, np.float32),
     }
-    labels = np.concatenate(all_box_labels, axis=0).astype(np.float32)
-    return inputs, labels, index, time_arr, extra
+    return inputs, padded_labels, index, time_arr, extra
 
 
 def _stack_inputs(inputs_list):

@@ -78,6 +78,9 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                         steps_per_epoch=1000, donate=True):
     ssl_type = cfg.CONTRASTIVE.TYPE
     T = cfg.CONTRASTIVE.T
+    from slowfast_tpu.solver.optimizer import make_epoch_lr_fn
+
+    lr_epoch_fn = make_epoch_lr_fn(cfg)
 
     def encode(params, batch_stats, xs, rng, train=True, use_predictor=False):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -241,9 +244,10 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                 )
 
         grad_norm = get_grad_norm(grads)
+        lr = lr_epoch_fn(epoch_exact)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
+            lambda p, u: p - (lr * u).astype(p.dtype), state.params, updates
         )
 
         if ssl_type == "moco" and cfg.TRAIN.BATCH_SIZE > 0:
@@ -314,7 +318,7 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             opt_state=new_opt_state,
             ssl_state=ssl,
         )
-        return new_state, {"loss": loss, "grad_norm": grad_norm}
+        return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
 
     if mesh is not None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -51,10 +51,15 @@ def create_train_state(cfg, model, tx, rng=None, variables=None):
     )
 
 
-def make_train_step(cfg, model, tx, mesh=None, donate=True):
+def make_train_step(cfg, model, tx, mesh=None, donate=True,
+                    steps_per_epoch=1000, epoch_in_batch=False):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
-    batch: {"inputs": [pathways...], "labels": ..., optional "boxes"}.
+    batch: {"inputs": [pathways...], "labels": ..., optional "boxes",
+    optional "epoch_exact"}. The per-iteration LR is computed INSIDE the
+    step (reference set_lr, train_net.py:104-106) from the fractional epoch:
+    batch["epoch_exact"] when ``epoch_in_batch`` (the trainer passes
+    cur_epoch + cur_iter/data_size), else state.step/steps_per_epoch.
     """
     detection = cfg.DETECTION.ENABLE
     masked = cfg.MASK.ENABLE
@@ -62,6 +67,9 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
     num_classes = cfg.MODEL.NUM_CLASSES
     loss_fun = get_loss_func(cfg.MODEL.LOSS_FUNC)
     multi_label = cfg.DATA.MULTI_LABEL or cfg.MODEL.LOSS_FUNC in ("bce", "bce_logit")
+    from slowfast_tpu.solver.optimizer import make_epoch_lr_fn
+
+    lr_epoch_fn = make_epoch_lr_fn(cfg)
 
     def step_fn(state: TrainState, batch, rng):
         inputs = batch["inputs"]
@@ -89,9 +97,23 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
             variables = {"params": params, "batch_stats": state.batch_stats}
             kwargs = dict(train=True, rngs={"dropout": drop_rng})
             if detection:
+                # Static-shape detection: boxes (B, MAX, 4) + validity mask.
+                # Padded rows are excluded from the loss (reference trains
+                # on the ragged real-box rows only, train_net.py:118-127).
                 preds, mutated = model.apply(
                     variables, inputs, batch["boxes"], mutable=["batch_stats"], **kwargs
                 )
+                mask = batch["box_mask"].reshape(-1)  # (B*MAX,)
+                flat_labels = loss_labels.reshape(preds.shape[0], -1)
+                per_elem = loss_fun(preds, flat_labels, reduction="none")
+                if per_elem.ndim == 2:  # bce: per-(box, class) elements
+                    per_elem = per_elem * mask[:, None]
+                    denom = jnp.maximum(mask.sum() * preds.shape[-1], 1.0)
+                else:  # cross_entropy: per-box
+                    per_elem = per_elem * mask
+                    denom = jnp.maximum(mask.sum(), 1.0)
+                loss = jnp.sum(per_elem) / denom
+                return loss, (preds, mutated["batch_stats"])
             elif masked:
                 # MaskFeat/MAE: model generates its own targets
                 # (reference train_net.py:127-133 MASK branch).
@@ -117,9 +139,15 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
         )(state.params)
 
         grad_norm = get_grad_norm(grads)
+        if epoch_in_batch:
+            epoch_exact = batch["epoch_exact"]
+        else:
+            epoch_exact = state.step.astype(jnp.float32) / steps_per_epoch
+        lr = lr_epoch_fn(epoch_exact)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
-                                  state.params, updates)
+        new_params = jax.tree.map(
+            lambda p, u: p - (lr * u).astype(p.dtype), state.params, updates
+        )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -127,7 +155,7 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
             opt_state=new_opt_state,
         )
 
-        metrics = {"loss": loss, "grad_norm": grad_norm}
+        metrics = {"loss": loss, "grad_norm": grad_norm, "lr": lr}
         if not detection and not masked and not multi_label and labels.ndim == 1:
             k1, k5 = topks_correct(preds.astype(jnp.float32), labels, (1, 5))
             b = preds.shape[0]
@@ -141,8 +169,11 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
         batch_shardings = {"inputs": [data] * _num_pathways(cfg), "labels": data}
         if detection:
             batch_shardings["boxes"] = data
+            batch_shardings["box_mask"] = data
         if masked and cfg.AUG.GEN_MASK_LOADER:
             batch_shardings["mask"] = data
+        if epoch_in_batch:
+            batch_shardings["epoch_exact"] = repl
         return jax.jit(
             step_fn,
             in_shardings=(None, batch_shardings, repl),
@@ -152,7 +183,11 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True):
 
 
 def make_eval_step(cfg, model, mesh=None):
-    """(state, batch) -> metrics/preds for the eval/test loop."""
+    """(state, batch) -> preds for the eval/test loop.
+
+    With a mesh, the batch is sharded over the ``data`` axis so eval runs
+    on all chips (the reference's eval is DDP-parallel too,
+    train_net.py:281-422)."""
     detection = cfg.DETECTION.ENABLE
 
     def step_fn(state: TrainState, batch):
@@ -163,6 +198,12 @@ def make_eval_step(cfg, model, mesh=None):
             preds = model.apply(variables, batch["inputs"], train=False)
         return preds
 
+    if mesh is not None:
+        data = NamedSharding(mesh, P("data"))
+        batch_shardings = {"inputs": [data] * _num_pathways(cfg), "labels": data}
+        if detection:
+            batch_shardings["boxes"] = data
+        return jax.jit(step_fn, in_shardings=(None, batch_shardings))
     return jax.jit(step_fn)
 
 

@@ -19,7 +19,9 @@ from slowfast_tpu.utils.meters import AVAMeter, TestMeter
 logger = logging_utils.get_logger(__name__)
 
 
-def perform_test(test_loader, state, eval_fn, test_meter, cfg):
+def perform_test(test_loader, state, eval_fn, test_meter, cfg, mesh=None):
+    from slowfast_tpu.utils.meters import gather_ragged_across_hosts
+
     test_meter.iter_tic()
     for cur_iter, (inputs, labels, video_idx, times, meta) in enumerate(test_loader):
         batch = {
@@ -28,9 +30,17 @@ def perform_test(test_loader, state, eval_fn, test_meter, cfg):
         }
         if cfg.DETECTION.ENABLE:
             batch["boxes"] = jnp.asarray(meta["boxes"])
-        preds = np.asarray(eval_fn(state, batch))
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
+        preds = np.asarray(jax.device_get(eval_fn(state, batch)))
+        # Cross-host gather so every host's meter sees ALL views of every
+        # video (reference test_net.py:116 all_gathers preds/labels/idx);
+        # no-op on a single host.
+        preds = gather_ragged_across_hosts(preds)
+        labels_all = gather_ragged_across_hosts(np.asarray(labels))
+        video_idx_all = gather_ragged_across_hosts(np.asarray(video_idx))
         test_meter.iter_toc()
-        test_meter.update_stats(preds, np.asarray(labels), np.asarray(video_idx))
+        test_meter.update_stats(preds, labels_all, video_idx_all)
         test_meter.log_iter_stats(cur_iter)
         test_meter.iter_tic()
     test_meter.finalize_metrics()
@@ -83,9 +93,11 @@ def _test_one(cfg):
                 "labels": jnp.asarray(labels),
                 "boxes": jnp.asarray(meta["boxes"]),
             }
-            preds = np.asarray(eval_fn(state, batch))
+            batch = mesh_lib.shard_batch(batch, mesh)
+            preds = np.asarray(jax.device_get(eval_fn(state, batch)))
+            valid = np.asarray(meta["box_mask"]).reshape(-1) > 0
             meter.iter_toc()
-            meter.update_stats(preds, meta["ori_boxes"], meta["metadata"])
+            meter.update_stats(preds[valid], meta["ori_boxes"], meta["metadata"])
             meter.log_iter_stats(None, cur_iter)
             meter.iter_tic()
         full_map = meter.finalize_metrics()
@@ -106,7 +118,7 @@ def _test_one(cfg):
         ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
         output_dir=cfg.OUTPUT_DIR,
     )
-    test_meter = perform_test(test_loader, state, eval_fn, test_meter, cfg)
+    test_meter = perform_test(test_loader, state, eval_fn, test_meter, cfg, mesh)
 
     if cfg.TEST.SAVE_RESULTS_PATH and mesh_lib.is_master_proc():
         with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:

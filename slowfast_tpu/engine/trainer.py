@@ -38,46 +38,80 @@ def _to_batch(inputs, labels, extra=None, dtype=jnp.float32):
     }
     if extra is not None and "boxes" in extra:
         batch["boxes"] = jnp.asarray(extra["boxes"])
+    if extra is not None and "box_mask" in extra:
+        batch["box_mask"] = jnp.asarray(extra["box_mask"])
     if extra is not None and "mask" in extra:
         batch["mask"] = jnp.asarray(extra["mask"])
     return batch
 
 
 def train_epoch(
-    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, lr_fn, rng
+    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, rng
 ):
+    """One training epoch with ASYNC metric readback.
+
+    Per-step ``float(m["loss"])`` would block the host on every device step,
+    serializing dispatch and compute (the reference overlaps them via
+    DataLoader workers). Instead, device metric handles are buffered and
+    only materialized every LOG_PERIOD iterations — the device runs ahead
+    while the host keeps feeding it. The NaN guard (reference
+    misc.check_nan_losses) runs on the same cadence.
+    """
     data_size = len(train_loader)
+    log_period = max(int(cfg.LOG_PERIOD), 1)
+    pending = []  # (cur_iter, device_metrics, global_batch_size)
+
+    def flush():
+        for it, m, bs in pending:
+            loss = float(m["loss"])
+            if math.isnan(loss):
+                raise RuntimeError(
+                    f"ERROR: Got NaN losses at epoch {cur_epoch} iter {it}"
+                )
+            top1 = float(m["top1_err"]) if "top1_err" in m else None
+            top5 = float(m["top5_err"]) if "top5_err" in m else None
+            meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
+            meter.log_iter_stats(cur_epoch, it)
+        pending.clear()
+
     meter.iter_tic()
     for cur_iter, (inputs, labels, index, times, meta) in enumerate(train_loader):
         batch = _to_batch(inputs, labels, meta)
+        batch["epoch_exact"] = jnp.asarray(
+            cur_epoch + cur_iter / data_size, jnp.float32
+        )
         batch = mesh_lib.shard_batch(batch, mesh)
         meter.data_toc()
 
         state, m = step_fn(state, batch, rng)
-        loss = float(m["loss"])
-        if math.isnan(loss):
-            raise RuntimeError(f"ERROR: Got NaN losses at epoch {cur_epoch}")
-        lr = float(lr_fn(int(state.step) - 1))
-        top1 = float(m["top1_err"]) if "top1_err" in m else None
-        top5 = float(m["top5_err"]) if "top5_err" in m else None
+        pending.append((cur_iter, m, labels.shape[0] * cfg.NUM_SHARDS))
         meter.iter_toc()
-        meter.update_stats(top1, top5, loss, lr, labels.shape[0] * cfg.NUM_SHARDS)
-        meter.log_iter_stats(cur_epoch, cur_iter)
+        if (cur_iter + 1) % log_period == 0:
+            flush()
         meter.iter_tic()
+    flush()
     meter.log_epoch_stats(cur_epoch)
     meter.reset()
     return state
 
 
-def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg):
+def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None):
     meter.iter_tic()
     for cur_iter, (inputs, labels, index, times, meta) in enumerate(val_loader):
         batch = _to_batch(inputs, labels, meta)
+        # eval step shardings cover inputs/labels/boxes only
+        batch.pop("mask", None)
+        batch.pop("box_mask", None)
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
         preds = eval_fn(state, batch)
         preds = np.asarray(preds)
         labels_np = np.asarray(labels)
         if cfg.DETECTION.ENABLE:
-            meter.update_stats(preds, meta["ori_boxes"], meta["metadata"])
+            # Unpad: keep predictions for real boxes only (row order matches
+            # the ragged ori_boxes/metadata emitted by detection_collate).
+            valid = np.asarray(meta["box_mask"]).reshape(-1) > 0
+            meter.update_stats(preds[valid], meta["ori_boxes"], meta["metadata"])
         elif cfg.DATA.MULTI_LABEL:
             meter.update_predictions(preds, labels_np)
         else:
@@ -124,13 +158,19 @@ def train_ssl(cfg):
     tx, lr_fn = construct_optimizer(variables["params"], cfg, steps_per_epoch)
     state = create_ssl_train_state(cfg, model, tx, rng=rng)
     del variables
+    # Auto-resume restores the FULL SSL state (params, optimizer, momentum
+    # encoder EMA, queues, memory banks) — an interrupted pretrain continues
+    # where it stopped (reference resumes via load_train_checkpoint).
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    if start_epoch:
+        logger.info("Resuming SSL training from epoch %d", start_epoch + 1)
     step_fn = make_ssl_train_step(
         cfg, model, tx, mesh=mesh, steps_per_epoch=steps_per_epoch,
         donate=cfg.TPU.DONATE,
     )
     train_meter = TrainMeter(steps_per_epoch, cfg)
 
-    for cur_epoch in range(cfg.SOLVER.MAX_EPOCH):
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         for cur_iter, (views, labels, index, times, meta) in enumerate(train_loader):
             v1, v2 = views[0], views[1]
@@ -142,8 +182,9 @@ def train_ssl(cfg):
             batch = mesh_lib.shard_batch(batch, mesh)
             state, m = step_fn(state, batch, rng)
             loss = float(m["loss"])
-            lr = float(lr_fn(int(state.step) - 1))
-            train_meter.update_stats(None, None, loss, lr, len(index) * cfg.NUM_SHARDS)
+            train_meter.update_stats(
+                None, None, loss, float(m["lr"]), len(index) * cfg.NUM_SHARDS
+            )
             train_meter.log_iter_stats(cur_epoch, cur_iter)
         train_meter.log_epoch_stats(cur_epoch)
         train_meter.reset()
@@ -205,7 +246,9 @@ def train(cfg):
 
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
-    step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE)
+    step_fn = make_train_step(
+        cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE, epoch_in_batch=True
+    )
     eval_fn = make_eval_step(cfg, model, mesh=mesh)
 
     if cfg.DETECTION.ENABLE:
@@ -225,13 +268,17 @@ def train(cfg):
             if changed:
                 # Rebuild loaders + jitted steps for the new (B,T,S) bucket
                 # (reference build_trainer, train_net.py:627-649). Model
-                # params are shape-independent and carry over.
+                # params are shape-independent and carry over in memory (the
+                # reference reloads the last checkpoint only because it
+                # rebuilds the torch module); LR stays continuous because
+                # the schedule is driven by epoch_exact, not the step count.
                 model = build_model(cfg)
                 train_loader = construct_loader(cfg, "train")
                 val_loader = construct_loader(cfg, "val")
                 steps_per_epoch = max(len(train_loader), 1)
                 step_fn = make_train_step(
-                    cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE
+                    cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE,
+                    epoch_in_batch=True,
                 )
                 eval_fn = make_eval_step(cfg, model, mesh=mesh)
                 train_meter = TrainMeter(steps_per_epoch, cfg)
@@ -240,7 +287,7 @@ def train(cfg):
         epoch_timer.epoch_tic()
         state = train_epoch(
             train_loader, state, step_fn, train_meter, cur_epoch, cfg, mesh,
-            lr_fn, rng,
+            rng,
         )
         epoch_timer.epoch_toc()
         logger.info(
@@ -252,17 +299,33 @@ def train(cfg):
             epoch_timer.avg_epoch_time(),
         )
 
-        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+        mg_schedule = (
+            multigrid.schedule
+            if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE
+            else None
+        )
+        if cu.is_checkpoint_epoch(cfg, cur_epoch, mg_schedule):
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
-        if _is_eval_epoch(cfg, cur_epoch):
-            eval_epoch(val_loader, state, eval_fn, val_meter, cur_epoch, cfg)
+        if _is_eval_epoch(cfg, cur_epoch, mg_schedule):
+            eval_epoch(
+                val_loader, state, eval_fn, val_meter, cur_epoch, cfg, mesh
+            )
 
     logger.info("training done")
     return state
 
 
-def _is_eval_epoch(cfg, cur_epoch):
+def _is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None):
     """(reference misc.is_eval_epoch :200-219)"""
     if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
         return True
+    if multigrid_schedule is not None:
+        prev_epoch = 0
+        for s in multigrid_schedule:
+            if cur_epoch < s[-1]:
+                period = max(
+                    (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
+                )
+                return (s[-1] - 1 - cur_epoch) % period == 0
+            prev_epoch = s[-1]
     return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0

@@ -164,7 +164,19 @@ class ResNetRoIHead(nn.Module):
 
     @nn.compact
     def __call__(self, xs, bboxes, train: bool = False):
+        """bboxes: (B, MAX_BOXES, 4) padded [x1,y1,x2,y2] per sample (static
+        shape; invalid rows are zero boxes masked out of the loss/meter), or
+        the reference's ragged (R, 5) [batch_idx, x1,y1,x2,y2] layout.
+        Returns (B*MAX_BOXES, num_classes) (resp. (R, num_classes))."""
         assert len(xs) == len(self.dim_in)
+        if bboxes.ndim == 3:
+            B, M = bboxes.shape[:2]
+            bidx = jnp.broadcast_to(
+                jnp.arange(B, dtype=bboxes.dtype)[:, None, None], (B, M, 1)
+            )
+            rois = jnp.concatenate([bidx, bboxes], axis=-1).reshape(B * M, 5)
+        else:
+            rois = bboxes
         pooled = []
         for p, x in enumerate(xs):
             # Temporal average pooling to a single frame.
@@ -172,7 +184,7 @@ class ResNetRoIHead(nn.Module):
             res = self.resolution[p][0]
             out = roi_align(
                 x,
-                bboxes,
+                rois,
                 output_size=res,
                 spatial_scale=1.0 / self.scale_factor[p],
                 sampling_ratio=0,

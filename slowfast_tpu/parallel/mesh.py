@@ -49,9 +49,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the leading axis sharded over data."""
+    """Device-put a host batch with the leading axis sharded over data.
+
+    Scalar leaves (e.g. epoch_exact) are replicated. Multi-host: each
+    process contributes its local slice of the global batch
+    (make_array_from_process_local_data assembles the global array)."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    repl = replicated(mesh)
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        if np.ndim(x) < 1:
+            return jax.device_put(x, repl)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
 
 
 def is_master_proc() -> bool:

@@ -74,22 +74,24 @@ def _layer_decay_scale(name, cfg):
     return cfg.SOLVER.LAYER_DECAY ** (cfg.MVIT.DEPTH + 1 - layer_id)
 
 
-def build_param_scales(params, cfg):
-    """Return (wd_tree, lr_scale_tree) aligned with the param pytree."""
+def build_param_scales(params, cfg, with_bn_tree=False):
+    """Return (wd_tree, lr_scale_tree[, is_bn_tree]) aligned with the
+    param pytree."""
     skip = mvit_no_weight_decay(cfg)
     use_layer_decay = cfg.SOLVER.LAYER_DECAY != 1.0
 
     names = _flat_names(params)
-    wd_leaves, scale_leaves = [], []
+    wd_leaves, scale_leaves, bn_leaves = [], [], []
     for path, name in names:
-        leaf_shape_hint = None  # determined by tree structure below
-        if _is_bn_param(name):
+        is_bn = _is_bn_param(name)
+        if is_bn:
             wd = cfg.BN.WEIGHT_DECAY
         elif skip and any(k in name for k in skip):
             wd = 0.0
         else:
             wd = None  # decided per-leaf with shape info
         wd_leaves.append((name, wd))
+        bn_leaves.append(is_bn)
         scale_leaves.append(
             _layer_decay_scale(name, cfg) if use_layer_decay else 1.0
         )
@@ -107,6 +109,9 @@ def build_param_scales(params, cfg):
         wd_vals.append(float(wd))
     wd_tree = jax.tree_util.tree_unflatten(treedef, wd_vals)
     scale_tree = jax.tree_util.tree_unflatten(treedef, [float(s) for s in scale_leaves])
+    if with_bn_tree:
+        bn_tree = jax.tree_util.tree_unflatten(treedef, bn_leaves)
+        return wd_tree, scale_tree, bn_tree
     return wd_tree, scale_tree
 
 
@@ -143,9 +148,17 @@ def scale_by_tree(scale_tree):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def lars_adaptation(trust_coefficient=0.001, eps=1e-8):
-    """LARS trust-ratio scaling, skipping 1-D params
-    (reference optimizer.py:262-359)."""
+def lars_adaptation(wd_tree, bn_tree, trust_coefficient=0.001, eps=1e-8):
+    """LARS trust-ratio scaling on the RAW gradient, before momentum
+    (reference optimizer.py:262-359, wrapped with clip=False, trust=0.001).
+
+    For every non-BN param with ndim > 1 (BN groups have apply_LARS=False,
+    1-D params are ignored): when both norms are nonzero,
+        g <- (g + wd*p) * trust * ||p|| / (||g|| + wd*||p|| + eps).
+    Weight decay for LARS-eligible groups is absorbed HERE (the reference
+    zeroes group weight_decay during the wrapped optimizer step), so the
+    downstream coupled-decay transform must see wd=0 for those leaves.
+    """
 
     def init_fn(params):
         return optax.EmptyState()
@@ -153,26 +166,32 @@ def lars_adaptation(trust_coefficient=0.001, eps=1e-8):
     def update_fn(updates, state, params=None):
         assert params is not None
 
-        def adapt(g, p):
-            if p.ndim <= 1:
+        def adapt(g, p, wd, is_bn):
+            if is_bn or p.ndim <= 1:
                 return g
-            p_norm = jnp.linalg.norm(p.reshape(-1))
-            g_norm = jnp.linalg.norm(g.reshape(-1))
-            ratio = jnp.where(
-                (p_norm > 0) & (g_norm > 0),
-                trust_coefficient * p_norm / (g_norm + eps),
-                1.0,
+            g32 = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            p_norm = jnp.linalg.norm(p32.reshape(-1))
+            g_norm = jnp.linalg.norm(g32.reshape(-1))
+            ratio = trust_coefficient * p_norm / (g_norm + wd * p_norm + eps)
+            out = jnp.where(
+                (p_norm != 0) & (g_norm != 0), (g32 + wd * p32) * ratio, g32
             )
-            return g * ratio
+            return out.astype(g.dtype)
 
-        return jax.tree.map(adapt, updates, params), state
+        return jax.tree.map(adapt, updates, params, wd_tree, bn_tree), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
-    """jnp-traceable per-step LR schedule matching
-    lr_policy.get_lr_at_epoch (reference slowfast/utils/lr_policy.py:9-25)."""
+def make_epoch_lr_fn(cfg) -> Callable:
+    """jnp-traceable LR as a function of FRACTIONAL EPOCH, matching
+    lr_policy.get_lr_at_epoch (reference slowfast/utils/lr_policy.py:9-25).
+
+    Driving LR by epoch_exact = cur_epoch + cur_iter/data_size (rather than
+    by a global step counter) reproduces the reference's per-iteration LR
+    exactly and keeps the schedule continuous across multigrid long-cycle
+    rebuilds, where steps_per_epoch changes mid-run."""
     policy = cfg.SOLVER.LR_POLICY
     base_lr = cfg.SOLVER.BASE_LR
     warmup_epochs = cfg.SOLVER.WARMUP_EPOCHS
@@ -206,8 +225,8 @@ def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
     else:
         raise NotImplementedError(f"Unknown LR policy: {policy}")
 
-    def lr_fn(step):
-        epoch = step / steps_per_epoch
+    def epoch_lr_fn(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
         lr = policy_fn(epoch)
         if warmup_epochs > 0:
             lr_end = policy_fn(jnp.asarray(warmup_epochs, jnp.float32))
@@ -216,12 +235,18 @@ def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
             lr = jnp.where(epoch < warmup_epochs, warm, lr)
         return lr
 
-    return lr_fn
+    return epoch_lr_fn
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
+    """Per-step LR schedule: epoch_exact approximated as step/steps_per_epoch."""
+    epoch_lr_fn = make_epoch_lr_fn(cfg)
+    return lambda step: epoch_lr_fn(step / steps_per_epoch)
 
 
 def construct_optimizer(params, cfg, steps_per_epoch: int):
     """Build the optax optimizer + the lr schedule (by global step)."""
-    wd_tree, scale_tree = build_param_scales(params, cfg)
+    wd_tree, scale_tree, bn_tree = build_param_scales(params, cfg, with_bn_tree=True)
     lr_fn = make_lr_schedule(cfg, steps_per_epoch)
 
     method = cfg.SOLVER.OPTIMIZING_METHOD
@@ -231,13 +256,23 @@ def construct_optimizer(params, cfg, steps_per_epoch: int):
     elif cfg.SOLVER.CLIP_GRAD_L2NORM:
         chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRAD_L2NORM))
 
+    decay_tree = wd_tree
+    if cfg.SOLVER.LARS_ON:
+        # LARS runs on the raw gradient BEFORE momentum and absorbs weight
+        # decay for all non-BN leaves (reference wraps the optimizer and
+        # zeroes group wd during its step, optimizer.py:323-356).
+        chain.append(lars_adaptation(wd_tree, bn_tree, trust_coefficient=0.001))
+        decay_tree = jax.tree.map(
+            lambda wd, is_bn: wd if is_bn else 0.0, wd_tree, bn_tree
+        )
+
     if method == "sgd":
-        chain.append(add_decayed_weights_tree(wd_tree))  # coupled decay
+        chain.append(add_decayed_weights_tree(decay_tree))  # coupled decay
         chain.append(
             optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
         )
     elif method == "adam":
-        chain.append(add_decayed_weights_tree(wd_tree))
+        chain.append(add_decayed_weights_tree(decay_tree))
         chain.append(
             optax.scale_by_adam(b1=cfg.SOLVER.BETAS[0], b2=cfg.SOLVER.BETAS[1])
         )
@@ -247,21 +282,17 @@ def construct_optimizer(params, cfg, steps_per_epoch: int):
                 b1=cfg.SOLVER.BETAS[0], b2=cfg.SOLVER.BETAS[1], eps=1e-8
             )
         )
-        chain.append(add_decayed_weights_tree(wd_tree))  # decoupled decay
+        chain.append(add_decayed_weights_tree(decay_tree))  # decoupled decay
     else:
         raise NotImplementedError(f"Does not support {method} optimizer")
 
-    if cfg.SOLVER.LARS_ON:
-        chain.append(lars_adaptation(trust_coefficient=0.001))
-
     chain.append(scale_by_tree(scale_tree))
 
-    # inject_hyperparams makes the lr visible in the opt state for logging.
-    chain.append(
-        optax.inject_hyperparams(lambda learning_rate: optax.scale(-learning_rate))(
-            learning_rate=lr_fn
-        )
-    )
+    # NOTE: the LR scale is intentionally NOT part of the chain. The train
+    # step computes lr = make_epoch_lr_fn(cfg)(epoch_exact) per iteration
+    # and applies params <- params - lr * updates, matching the reference's
+    # set_lr-before-step protocol (train_net.py:104-106) and keeping the
+    # optimizer state independent of steps_per_epoch (multigrid rebuilds).
     return optax.chain(*chain), lr_fn
 
 

@@ -68,7 +68,9 @@ def is_checkpoint_epoch(cfg, cur_epoch, multigrid_schedule=None):
                 period = max(
                     (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
                 )
-                return (cur_epoch - prev_epoch) % period == 0
+                # End-anchored so the epoch just before a long-cycle shape
+                # change is always checkpointed (reference checkpoint.py:105).
+                return (s[-1] - 1 - cur_epoch) % period == 0
             prev_epoch = s[-1]
     return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
 
@@ -94,14 +96,24 @@ def save_checkpoint(path_to_job, state, epoch, cfg, scaler_state=None):
         "cfg": cfg.dump(),
         "format": "slowfast_tpu.msgpack.v1",
     }
+    # SSL runs carry extra functional state (momentum-encoder EMA params,
+    # queues, memory banks) that must survive a resume (reference restores
+    # the full module state dict, train_net.py:532-543).
+    if getattr(host_state, "ssl_state", None) is not None:
+        payload["ssl_state"] = serialization.to_bytes(host_state.ssl_state)
     path = get_path_to_checkpoint(path_to_job, epoch + 1, cfg.TASK)
     with open(path, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     return path
 
 
-def load_native_checkpoint(path, state):
-    """Restore a TrainState template from a native checkpoint file."""
+def load_native_checkpoint(path, state, load_opt=True):
+    """Restore a TrainState template from a native checkpoint file.
+
+    ``load_opt=False`` restores only model weights/stats (fine-tune init with
+    CHECKPOINT_EPOCH_RESET: the optimizer state and step counter stay fresh
+    so the LR schedule restarts, reference checkpoint.py:506-521).
+    """
     with open(path, "rb") as f:
         payload = pickle.load(f)
     assert payload.get("format", "").startswith("slowfast_tpu."), (
@@ -111,13 +123,26 @@ def load_native_checkpoint(path, state):
         {"params": state.params, "batch_stats": state.batch_stats},
         payload["model_state"],
     )
-    opt_state = serialization.from_bytes(state.opt_state, payload["optimizer_state"])
     new_state = state.replace(
         params=model["params"],
         batch_stats=model["batch_stats"],
-        opt_state=opt_state,
-        step=np.asarray(payload["step"], np.int32),
     )
+    if load_opt:
+        opt_state = serialization.from_bytes(
+            state.opt_state, payload["optimizer_state"]
+        )
+        new_state = new_state.replace(
+            opt_state=opt_state, step=np.asarray(payload["step"], np.int32)
+        )
+    if (
+        payload.get("ssl_state") is not None
+        and getattr(state, "ssl_state", None) is not None
+    ):
+        new_state = new_state.replace(
+            ssl_state=serialization.from_bytes(
+                state.ssl_state, payload["ssl_state"]
+            )
+        )
     return new_state, payload["epoch"]
 
 
@@ -310,12 +335,28 @@ def load_train_checkpoint(cfg, state):
     if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR, cfg.TASK):
         path = get_last_checkpoint(cfg.OUTPUT_DIR, cfg.TASK)
         state, epoch = load_native_checkpoint(path, state)
-        return state, epoch
+        # The saved epoch is the last COMPLETED epoch; resume at the next
+        # one (reference train_net.py:540: start_epoch = checkpoint_epoch+1).
+        return state, epoch + 1
     if cfg.TRAIN.CHECKPOINT_FILE_PATH:
-        state = _load_any(cfg.TRAIN.CHECKPOINT_FILE_PATH, state, cfg)
-        if not cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
-            pass  # torch imports carry no epoch; native handled above
+        path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+        if _is_native(path):
+            reset = cfg.TRAIN.CHECKPOINT_EPOCH_RESET
+            state, epoch = load_native_checkpoint(path, state, load_opt=not reset)
+            return state, 0 if reset else epoch + 1
+        state = _load_any(path, state, cfg)
     return state, 0
+
+
+def _is_native(path):
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return isinstance(payload, dict) and str(
+            payload.get("format", "")
+        ).startswith("slowfast_tpu.")
+    except Exception:
+        return False
 
 
 def _load_any(path, state, cfg):

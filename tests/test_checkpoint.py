@@ -63,10 +63,26 @@ def test_native_checkpoint_roundtrip():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
 
-        # auto-resume entry point
+        # auto-resume entry point: the saved epoch is the last COMPLETED
+        # epoch, training resumes at the next one (reference
+        # train_net.py:540).
         cfg.TRAIN.AUTO_RESUME = True
         resumed, start_epoch = cu.load_train_checkpoint(cfg, fresh)
-        assert start_epoch == 4
+        assert start_epoch == 5
+        assert int(resumed.step) == int(state.step)
+
+        # Fine-tune init from an explicit native path with EPOCH_RESET:
+        # weights load, optimizer/step/epoch restart fresh.
+        cfg.TRAIN.AUTO_RESUME = False
+        cfg.TRAIN.CHECKPOINT_FILE_PATH = path
+        cfg.TRAIN.CHECKPOINT_EPOCH_RESET = True
+        ft, start_epoch = cu.load_train_checkpoint(cfg, fresh)
+        assert start_epoch == 0
+        assert int(ft.step) == 0
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(ft.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
 
 
 def test_checkpoint_epoch_cadence():

@@ -111,11 +111,14 @@ def test_sgd_matches_torch_semantics():
 
     params = {"layer": {"kernel": jnp.asarray(w0)}}
     grads = {"layer": {"kernel": jnp.asarray(g)}}
-    tx, _ = construct_optimizer(params, cfg, steps_per_epoch=1)
+    tx, lr_fn = construct_optimizer(params, cfg, steps_per_epoch=1)
     opt_state = tx.init(params)
-    for _ in range(3):
+    for step in range(3):
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        lr = lr_fn(step)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, params, updates
+        )
 
     tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
     opt = torch.optim.SGD(
@@ -128,4 +131,66 @@ def test_sgd_matches_torch_semantics():
     np.testing.assert_allclose(
         np.asarray(params["layer"]["kernel"]), tw.detach().numpy(), rtol=1e-5,
         atol=1e-6,
+    )
+
+
+def test_lars_matches_reference_semantics():
+    """SGD+LARS must match the reference LARS wrapper (optimizer.py:262-359,
+    trust=0.001, clip=False): the trust ratio scales the RAW gradient
+    (+absorbed wd) BEFORE momentum; BN and 1-D params are exempt."""
+    import torch
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.BASE_LR = 0.1
+    cfg.SOLVER.LR_POLICY = "constant"
+    cfg.SOLVER.MOMENTUM = 0.9
+    cfg.SOLVER.NESTEROV = False
+    cfg.SOLVER.WEIGHT_DECAY = 0.01
+    cfg.SOLVER.ZERO_WD_1D_PARAM = False
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.SOLVER.LARS_ON = True
+
+    rs = np.random.RandomState(0)
+    w0 = rs.randn(4, 4).astype(np.float32)
+    g = rs.randn(4, 4).astype(np.float32)
+    b0 = rs.randn(4).astype(np.float32)
+    gb = rs.randn(4).astype(np.float32)
+
+    params = {"layer": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    grads = {"layer": {"kernel": jnp.asarray(g), "bias": jnp.asarray(gb)}}
+    tx, lr_fn = construct_optimizer(params, cfg, steps_per_epoch=1)
+    opt_state = tx.init(params)
+    for step in range(3):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - lr_fn(step) * u, params, updates
+        )
+
+    # Reference: LARS.step() adapts p.grad, then torch SGD runs with the
+    # group's weight_decay zeroed during the step.
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.SGD(
+        [{"params": [tw, tb], "weight_decay": 0.0}], lr=0.1, momentum=0.9
+    )
+    trust, wd, eps = 0.001, 0.01, 1e-8
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        # LARS adaptation on the 2-D param only (ignore_1d_param).
+        p_norm = tw.data.norm()
+        g_norm = tw.grad.norm()
+        adaptive_lr = trust * p_norm / (g_norm + p_norm * wd + eps)
+        tw.grad.data += wd * tw.data
+        tw.grad.data *= adaptive_lr
+        opt.step()
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["kernel"]), tw.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["bias"]), tb.detach().numpy(),
+        rtol=1e-5, atol=1e-6,
     )
