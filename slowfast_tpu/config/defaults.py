@@ -587,6 +587,13 @@ _C.TPU = CfgNode(
         # Selective rematerialization: stage names to recompute in backward
         # (e.g. ["s1", "s2"] — cheap FLOPs, huge activations).
         REMAT_STAGES=[],
+        # uint8 input pipeline: datasets emit cropped uint8 clips, the
+        # host->device transfer ships uint8 (4x smaller), and the train/eval
+        # step normalizes + pathway-splits on-chip (ops/preprocess.py).
+        # Spatial resampling then happens in uint8 (one extra rounding vs
+        # the reference's float path — same tradeoff as its decode-time
+        # resize backend).
+        UINT8_PIPELINE=True,
     )
 )
 

@@ -56,8 +56,16 @@ class Kinetics:
         self._path_to_videos = []
         self._labels = []
         self._spatial_temporal_idx = []
+        # Chunked csv loading for huge lists (reference kinetics.py:159-172):
+        # only rows [SKIP_ROWS, SKIP_ROWS + LOADER_CHUNK_SIZE) are resident;
+        # the trainer advances SKIP_ROWS each epoch and rebuilds the loader.
+        chunk = self.cfg.DATA.LOADER_CHUNK_SIZE if self.mode == "train" else 0
+        skip = self.cfg.DATA.SKIP_ROWS if chunk > 0 else 0
+        clip_idx = 0
         with open(path_to_file) as f:
-            for clip_idx, line in enumerate(f):
+            for row_idx, line in enumerate(f):
+                if chunk > 0 and (row_idx < skip or row_idx >= skip + chunk):
+                    continue
                 line = line.strip()
                 if not line:
                     continue
@@ -71,12 +79,14 @@ class Kinetics:
                     self._labels.append(int(label))
                     self._spatial_temporal_idx.append(idx)
                     self._video_meta[clip_idx * self._num_clips + idx] = {}
+                clip_idx += 1
         assert len(self._path_to_videos) > 0, (
             f"Failed to load Kinetics split {self.mode} from {path_to_file}"
         )
         logger.info(
-            "Constructed kinetics dataloader (size: %d) from %s",
+            "Constructed kinetics dataloader (size: %d skip_rows %d) from %s",
             len(self._path_to_videos),
+            skip,
             path_to_file,
         )
 
@@ -186,19 +196,58 @@ class Kinetics:
                     )
                     t_frames = result[0] if result is not None else frames
                 for _ in range(n_s):
+                    v_frames = t_frames
+                    if cfg.DATA.TIME_DIFF_PROB > 0:
+                        # Raw-frame temporal-difference aug (reference
+                        # decoder.py:574-596 time_diff_prob).
+                        from .transform import augment_raw_frames
+
+                        v_frames, _ = augment_raw_frames(
+                            t_frames, time_diff_prob=cfg.DATA.TIME_DIFF_PROB
+                        )
+                        v_frames = np.clip(v_frames, 0, 255).astype(np.uint8)
                     views.append(
                         self._process_clip(
-                            t_frames, spatial_sample_index, min_scale,
+                            v_frames, spatial_sample_index, min_scale,
                             max_scale, crop_size,
                         )
                     )
             label = self._labels[index]
             return views, label, index, np.zeros((1,)), {}
 
+        label = self._labels[index]
+
+        # Repeated augmentation (reference kinetics.py:359-464 via
+        # AUG.NUM_SAMPLE + multiple_samples_collate): the SAME decoded clip
+        # is independently augmented NUM_SAMPLE times; labels/indices are
+        # replicated and the collate flattens samples into the batch axis.
+        num_aug = (
+            cfg.AUG.NUM_SAMPLE
+            if self.mode == "train" and cfg.AUG.ENABLE
+            else 1
+        )
+        if num_aug > 1:
+            f_out, l_out, i_out, t_out, m_out = [], [], [], [], []
+            for _ in range(num_aug):
+                f_out.append(
+                    self._process_clip(
+                        frames, spatial_sample_index, min_scale, max_scale,
+                        crop_size,
+                    )
+                )
+                l_out.append(label)
+                i_out.append(index)
+                t_out.append(np.zeros((1,)))
+                m_out.append(
+                    {"mask": self._gen_mask()} if cfg.AUG.GEN_MASK_LOADER else {}
+                )
+            if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
+                self.dummy_output = (f_out, l_out, i_out, t_out, m_out)
+            return f_out, l_out, i_out, t_out, m_out
+
         frames = self._process_clip(
             frames, spatial_sample_index, min_scale, max_scale, crop_size
         )
-        label = self._labels[index]
         meta = {}
         if cfg.AUG.GEN_MASK_LOADER:
             meta["mask"] = self._gen_mask()
@@ -236,6 +285,22 @@ class Kinetics:
         self, frames, spatial_sample_index, min_scale, max_scale, crop_size
     ):
         cfg = self.cfg
+        if self.mode == "train" and cfg.DATA.SSL_COLOR_JITTER:
+            # SSL color recipe on [0,1] floats BEFORE RandAugment
+            # (reference kinetics.py:375-387).
+            from .transform import color_jitter_video_ssl
+
+            f = np.asarray(frames, np.float32) / 255.0
+            f = color_jitter_video_ssl(
+                f,
+                bri_con_sat=cfg.DATA.SSL_COLOR_BRI_CON_SAT,
+                hue=cfg.DATA.SSL_COLOR_HUE,
+                p_convert_gray=cfg.DATA.COLOR_RND_GRAYSCALE,
+                moco_v2_aug=cfg.DATA.SSL_MOCOV2_AUG,
+                gaussan_sigma_min=cfg.DATA.SSL_BLUR_SIGMA_MIN,
+                gaussan_sigma_max=cfg.DATA.SSL_BLUR_SIGMA_MAX,
+            )
+            frames = np.clip(f * 255.0, 0, 255).astype(np.uint8)
         if self.randaug is not None:
             frames = self.randaug(frames)
         frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
@@ -334,6 +399,20 @@ class Syntheticvideo:
             }
             return inputs, labels, index, np.zeros((1,)), meta
         label = int(rng.randint(0, cfg.MODEL.NUM_CLASSES))
+        num_aug = (
+            cfg.AUG.NUM_SAMPLE
+            if self.mode == "train" and cfg.AUG.ENABLE
+            else 1
+        )
+        if num_aug > 1:
+            # Repeated augmentation contract (see Kinetics.__getitem__).
+            return (
+                [inputs] * num_aug,
+                [label] * num_aug,
+                [index] * num_aug,
+                [np.zeros((1,))] * num_aug,
+                [{}] * num_aug,
+            )
         return (
             inputs,
             label,

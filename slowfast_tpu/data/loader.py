@@ -110,6 +110,17 @@ def ssl_collate(samples):
     return views, labels, index, time_arr, {}
 
 
+def multiple_samples_collate(samples):
+    """Flatten repeated-augmentation samples into the batch axis
+    (reference loader.py:20-45): each dataset item is a LIST of NUM_SAMPLE
+    independently-augmented clips with replicated labels/indices."""
+    flat = []
+    for f_list, l_list, i_list, t_list, m_list in samples:
+        for f, l, i, t, m in zip(f_list, l_list, i_list, t_list, m_list):
+            flat.append((f, l, i, t, m))
+    return default_collate(flat)
+
+
 def default_collate(samples):
     inputs = _stack_inputs([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples])
@@ -251,6 +262,12 @@ def construct_loader(cfg, split):
         collate = detection_collate
     elif cfg.MODEL.MODEL_NAME == "ContrastiveModel" and split == "train":
         collate = ssl_collate
+    elif (
+        split == "train"
+        and cfg.AUG.ENABLE
+        and cfg.AUG.NUM_SAMPLE > 1
+    ):
+        collate = multiple_samples_collate
     else:
         collate = default_collate
     return ShardedLoader(

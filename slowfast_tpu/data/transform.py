@@ -245,6 +245,176 @@ def color_normalization(frames, mean, stddev):
     return (frames - mean) / stddev
 
 
+# ---------------------------------------------------------------------------
+# SSL augmentations (reference transform.py:1047-1180)
+# ---------------------------------------------------------------------------
+
+def _tv_brightness(frames, factor):
+    """torchvision adjust_brightness: img * factor."""
+    return np.clip(frames * factor, 0.0, 1.0)
+
+
+def _tv_contrast(frames, factor):
+    """torchvision adjust_contrast: blend with the mean of the grayscale."""
+    mean = grayscale(frames)[..., 0].mean()
+    return np.clip(frames * factor + mean * (1.0 - factor), 0.0, 1.0)
+
+
+def _tv_saturation(frames, factor):
+    """torchvision adjust_saturation: blend with per-pixel grayscale."""
+    return np.clip(
+        frames * factor + grayscale(frames) * (1.0 - factor), 0.0, 1.0
+    )
+
+
+def _tv_hue(frames, factor):
+    """torchvision adjust_hue: rotate hue by ``factor`` (in turns)."""
+    r, g, b = frames[..., 0], frames[..., 1], frames[..., 2]
+    maxc = frames.max(axis=-1)
+    minc = frames.min(axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    dz = np.maximum(delta, 1e-12)
+    rc = (maxc - r) / dz
+    gc = (maxc - g) / dz
+    bc = (maxc - b) / dz
+    h = np.where(
+        maxc == r, bc - gc, np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = np.where(delta == 0, 0.0, h)
+    h = (h + factor) % 1.0
+    # HSV -> RGB
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    out = np.stack(
+        [
+            np.choose(i, [v, q, p, p, t, v]),
+            np.choose(i, [t, v, v, q, p, p]),
+            np.choose(i, [p, p, t, v, v, q]),
+        ],
+        axis=-1,
+    )
+    return out.astype(frames.dtype)
+
+
+def _gaussian_blur_frames(frames, sigma):
+    """Per-frame spatial Gaussian blur (reference GaussianBlur, PIL radius
+    == sigma)."""
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(
+        frames, sigma=(0.0, sigma, sigma, 0.0), mode="nearest"
+    ).astype(frames.dtype)
+
+
+def color_jitter_video_ssl(
+    frames,
+    bri_con_sat=(0.4, 0.4, 0.4),
+    hue=0.1,
+    p_convert_gray=0.0,
+    moco_v2_aug=False,
+    gaussan_sigma_min=(0.0, 0.1),
+    gaussan_sigma_max=(0.0, 2.0),
+):
+    """SSL color jitter over a THWC float [0,1] clip (reference
+    transform.py:1073-1123): torchvision ColorJitter semantics applied to
+    ALL frames with ONE shared random draw (the reference jitters the
+    (C, T*H, W)-stacked image). moco_v2_aug adds the MoCo-v2 recipe:
+    p=0.8 jitter, random grayscale, p=0.5 Gaussian blur."""
+
+    def jitter(f):
+        ops = []
+        if bri_con_sat[0] > 0:
+            fac = random.uniform(max(0.0, 1 - bri_con_sat[0]), 1 + bri_con_sat[0])
+            ops.append(lambda x, fac=fac: _tv_brightness(x, fac))
+        if bri_con_sat[1] > 0:
+            fac = random.uniform(max(0.0, 1 - bri_con_sat[1]), 1 + bri_con_sat[1])
+            ops.append(lambda x, fac=fac: _tv_contrast(x, fac))
+        if bri_con_sat[2] > 0:
+            fac = random.uniform(max(0.0, 1 - bri_con_sat[2]), 1 + bri_con_sat[2])
+            ops.append(lambda x, fac=fac: _tv_saturation(x, fac))
+        if hue > 0:
+            fac = random.uniform(-hue, hue)
+            ops.append(lambda x, fac=fac: _tv_hue(x, fac))
+        random.shuffle(ops)
+        for op in ops:
+            f = op(f)
+        return f
+
+    frames = np.asarray(frames, np.float32)
+    if moco_v2_aug:
+        if random.random() < 0.8:
+            frames = jitter(frames)
+        if random.random() < p_convert_gray:
+            frames = grayscale(frames)
+        if random.random() < 0.5:
+            sigma = random.uniform(0.1, 2.0)
+            frames = _gaussian_blur_frames(frames, sigma)
+    else:
+        if random.random() < p_convert_gray:
+            frames = grayscale(frames)
+        frames = jitter(frames)
+    return frames
+
+
+class GaussianBlurVideo:
+    """Spatio(-temporal) Gaussian blur of a THWC clip (reference
+    transform.py:1160-1180; the channel axis is never blurred here)."""
+
+    def __init__(self, sigma_min=(0.0, 0.1), sigma_max=(0.0, 2.0)):
+        self.sigma_min = sigma_min
+        self.sigma_max = sigma_max
+
+    def __call__(self, frames):
+        from scipy.ndimage import gaussian_filter
+
+        sigma_s = random.uniform(self.sigma_min[1], self.sigma_max[1])
+        sigma_t = random.uniform(self.sigma_min[0], self.sigma_max[0])
+        return gaussian_filter(
+            np.asarray(frames, np.float32),
+            sigma=(sigma_t, sigma_s, sigma_s, 0.0),
+            mode="nearest",
+        )
+
+
+def temporal_difference(frames, use_grayscale=False, absolute=False):
+    """Frame differencing over a THWC clip (reference transform.py:1047-1071)."""
+    frames = np.asarray(frames, np.float32)
+    if use_grayscale:
+        frames = grayscale(frames)
+    t = frames.shape[0]
+    out = np.zeros_like(frames)
+    dt = frames[: t - 1] - frames[1:]
+    if absolute:
+        dt = np.abs(dt)
+    out[: t - 1] = dt
+    if t > 1:
+        out[-1] = dt[-1]
+    return out
+
+
+def augment_raw_frames(frames, time_diff_prob=0.0, gaussian_prob=0.0):
+    """Raw-frame (0..255) SSL augmentation (reference transform.py:1124-1144):
+    optional video Gaussian blur, then temporal-difference conversion with
+    probability ``time_diff_prob`` (output renormalized to 0..255).
+    Returns (frames, time_diff_applied)."""
+    frames = np.asarray(frames, np.float32)
+    if gaussian_prob > 0.0 and random.random() < gaussian_prob:
+        frames = GaussianBlurVideo()(frames)
+    time_diff_out = False
+    if time_diff_prob > 0.0 and random.random() < time_diff_prob:
+        frames = temporal_difference(frames, use_grayscale=True, absolute=False)
+        frames = (frames + 255.0) / 2.0
+        time_diff_out = True
+    return frames, time_diff_out
+
+
 class MaskingGenerator:
     """Block masking for MaskFeat (reference transform.py:776-868)."""
 

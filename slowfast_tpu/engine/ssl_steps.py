@@ -50,7 +50,10 @@ def create_ssl_train_state(cfg, model, tx, rng=None):
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, inputs, train=True
     )
     params = variables["params"]
-    ssl_state = init_ssl_state(cfg, params, jax.random.fold_in(rng, 2))
+    ssl_state = init_ssl_state(
+        cfg, params, jax.random.fold_in(rng, 2),
+        batch_stats=variables.get("batch_stats", {}),
+    )
     return SSLTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -108,9 +111,13 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         index = batch.get("index")
         mmt = _momentum(cfg, state.step, steps_per_epoch)
 
+        # The momentum (key) encoder runs with ITS OWN EMA batch stats
+        # (reference contrastive.py:153-168 EMAs all buffers).
+        hist_stats = ssl.get("hist_batch_stats", state.batch_stats)
+
         if ssl_type == "moco":
             keys = encode_frozen(
-                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs2"]
+                {"backbone": ssl["hist_params"]}, hist_stats, batch["inputs2"]
             )
             keys = jax.lax.stop_gradient(keys)
 
@@ -124,10 +131,10 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
 
         elif ssl_type == "byol":
             keys = encode_frozen(
-                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs2"]
+                {"backbone": ssl["hist_params"]}, hist_stats, batch["inputs2"]
             )
             keys2 = encode_frozen(
-                {"backbone": ssl["hist_params"]}, state.batch_stats, batch["inputs"]
+                {"backbone": ssl["hist_params"]}, hist_stats, batch["inputs"]
             )
             keys, keys2 = jax.lax.stop_gradient((keys, keys2))
 
@@ -282,6 +289,10 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             ssl["hist_params"] = momentum_update(
                 ssl["hist_params"], new_params["backbone"], mmt
             )
+            if "hist_batch_stats" in ssl:
+                ssl["hist_batch_stats"] = momentum_update(
+                    ssl["hist_batch_stats"], new_stats, mmt
+                )
         if ssl_type == "moco":
             ssl["queue_x"], ssl["ptr"] = dequeue_and_enqueue(
                 ssl["queue_x"], ssl["ptr"], keys

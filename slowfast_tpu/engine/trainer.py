@@ -46,7 +46,8 @@ def _to_batch(inputs, labels, extra=None, dtype=jnp.float32):
 
 
 def train_epoch(
-    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, rng
+    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, rng,
+    writer=None,
 ):
     """One training epoch with ASYNC metric readback.
 
@@ -72,6 +73,14 @@ def train_epoch(
             top5 = float(m["top5_err"]) if "top5_err" in m else None
             meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
             meter.log_iter_stats(cur_epoch, it)
+            if writer is not None:
+                scalars = {"Train/loss": loss, "Train/lr": float(m["lr"])}
+                if top1 is not None:
+                    scalars["Train/Top1_err"] = top1
+                    scalars["Train/Top5_err"] = top5
+                writer.add_scalars(
+                    scalars, global_step=data_size * cur_epoch + it
+                )
         pending.clear()
 
     meter.iter_tic()
@@ -95,7 +104,9 @@ def train_epoch(
     return state
 
 
-def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None):
+def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None,
+               writer=None):
+    tb_preds, tb_labels = [], []
     meter.iter_tic()
     for cur_iter, (inputs, labels, index, times, meta) in enumerate(val_loader):
         batch = _to_batch(inputs, labels, meta)
@@ -124,10 +135,28 @@ def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None):
                 (1.0 - float(k5) / b) * 100.0,
                 b * cfg.NUM_SHARDS,
             )
+        if writer is not None and not cfg.DETECTION.ENABLE:
+            tb_preds.append(preds)
+            tb_labels.append(labels_np)
         meter.iter_toc()
         meter.log_iter_stats(cur_epoch, cur_iter)
         meter.iter_tic()
     stats = meter.log_epoch_stats(cur_epoch)
+    if writer is not None:
+        scalars = {}
+        for k in ("top1_err", "top5_err", "map"):
+            if stats and k in stats:
+                try:
+                    scalars[f"Val/{k}"] = float(stats[k])
+                except (TypeError, ValueError):
+                    pass
+        if scalars:
+            writer.add_scalars(scalars, global_step=cur_epoch)
+        if tb_preds and not cfg.DATA.MULTI_LABEL:
+            writer.plot_eval(
+                np.concatenate(tb_preds), np.concatenate(tb_labels),
+                global_step=cur_epoch,
+            )
     meter.reset()
     return stats
 
@@ -261,8 +290,26 @@ def train(cfg):
         val_meter = ValMeter(len(val_loader), cfg)
     epoch_timer = EpochTimer()
 
+    # TensorBoard writer, master-only (reference train_net.py:604-607).
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and mesh_lib.is_master_proc():
+        from slowfast_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        # Chunked-csv rotation: advance the resident slice and rebuild the
+        # train loader (reference train_net.py:614-625).
+        if cur_epoch > 0 and cfg.DATA.LOADER_CHUNK_SIZE > 0:
+            num_chunks = math.ceil(
+                cfg.DATA.LOADER_CHUNK_OVERALL_SIZE / cfg.DATA.LOADER_CHUNK_SIZE
+            )
+            cfg.DATA.SKIP_ROWS = (
+                cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
+            )
+            logger.info("chunked loader: skip_rows %d", cfg.DATA.SKIP_ROWS)
+            train_loader = construct_loader(cfg, "train")
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:
@@ -287,7 +334,7 @@ def train(cfg):
         epoch_timer.epoch_tic()
         state = train_epoch(
             train_loader, state, step_fn, train_meter, cur_epoch, cfg, mesh,
-            rng,
+            rng, writer=writer,
         )
         epoch_timer.epoch_toc()
         logger.info(
@@ -304,13 +351,34 @@ def train(cfg):
             if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE
             else None
         )
-        if cu.is_checkpoint_epoch(cfg, cur_epoch, mg_schedule):
-            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
-        if _is_eval_epoch(cfg, cur_epoch, mg_schedule):
-            eval_epoch(
-                val_loader, state, eval_fn, val_meter, cur_epoch, cfg, mesh
+        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch, mg_schedule)
+        is_eval = _is_eval_epoch(cfg, cur_epoch, mg_schedule)
+
+        # Precise-BN: replace running stats with the plain average over N
+        # train batches before checkpointing/eval (reference
+        # train_net.py:698-710).
+        if (
+            cfg.BN.USE_PRECISE_STATS
+            and (is_checkp or is_eval)
+            and jax.tree_util.tree_leaves(state.batch_stats)
+        ):
+            from slowfast_tpu.engine.precise_bn import compute_precise_bn_stats
+
+            state = compute_precise_bn_stats(
+                cfg, model, state, train_loader,
+                min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
             )
 
+        if is_checkp:
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if is_eval:
+            eval_epoch(
+                val_loader, state, eval_fn, val_meter, cur_epoch, cfg, mesh,
+                writer=writer,
+            )
+
+    if writer is not None:
+        writer.close()
     logger.info("training done")
     return state
 

@@ -115,13 +115,19 @@ def sinkhorn(scores, eps=0.05, n_iters=3):
     return (Q * B).T  # (B, K)
 
 
-def init_ssl_state(cfg, params, rng):
+def init_ssl_state(cfg, params, rng, batch_stats=None):
     """Cross-step SSL state: EMA params, queue, pointer, memory banks."""
     state = {}
     t = cfg.CONTRASTIVE.TYPE
     if t in ("moco", "byol"):
         state["hist_params"] = jax.tree_util.tree_map(
             lambda x: x, params["backbone"]
+        )
+        # Momentum encoder carries its OWN running BN stats: the reference's
+        # _update_history EMAs all named buffers, not just weights
+        # (contrastive.py:153-168).
+        state["hist_batch_stats"] = jax.tree_util.tree_map(
+            lambda x: x, (batch_stats or {})
         )
         stdv = 1.0 / jnp.sqrt(cfg.CONTRASTIVE.DIM / 3.0)
         state["queue_x"] = (

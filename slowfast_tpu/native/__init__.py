@@ -54,7 +54,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.sf_probe.restype = ctypes.c_int
-            lib.sf_decode_init(int(os.environ.get("SF_DECODE_THREADS", "8")))
+            # Thread count defaults to the host's CPUs: oversubscribing a
+            # small host REGRESSES (8 pool threads on 1 CPU measured 2.3x
+            # slower than sequential cv2; 1 thread beats cv2 by ~10-20%).
+            default_threads = max(1, min(os.cpu_count() or 1, 8))
+            lib.sf_decode_init(
+                int(os.environ.get("SF_DECODE_THREADS", default_threads))
+            )
             _LIB = lib
             return lib
         except Exception:

@@ -182,7 +182,8 @@ def inflate_weight(w2d: np.ndarray, t: int) -> np.ndarray:
     return np.repeat(w2d, t, axis=0) / float(t)
 
 
-def load_torch_checkpoint(path, variables, inflate=False, strict=False):
+def load_torch_checkpoint(path, variables, inflate=False, strict=False,
+                          image_init=False):
     """Load a reference .pyth checkpoint into a flax variables dict.
 
     Returns (new_variables, missing, unexpected).
@@ -191,21 +192,143 @@ def load_torch_checkpoint(path, variables, inflate=False, strict=False):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt)
-    return load_torch_checkpoint_dict(sd, variables, inflate=inflate, strict=strict)
+    return load_torch_checkpoint_dict(
+        sd, variables, inflate=inflate, strict=strict, image_init=image_init
+    )
 
 
-def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False):
+def _interp_linear(v, n):
+    """torch F.interpolate(mode='linear') over the leading token axis of an
+    (L, C) table — exact reference semantics (checkpoint.py:443-451)."""
+    import torch
+
+    t = torch.from_numpy(np.ascontiguousarray(v.astype(np.float32)))
+    out = torch.nn.functional.interpolate(
+        t.t().unsqueeze(0), size=n, mode="linear"
+    )
+    return out[0].t().numpy()
+
+
+def _interp_bicubic_2d(v, hw):
+    """Bicubic resize of a (1, H*W, C) pos-embed grid to hw*hw tokens
+    (reference checkpoint.py:470-487)."""
+    import math
+    import torch
+
+    src = int(math.sqrt(v.shape[1]))
+    assert src * src == v.shape[1], "pos_embed_spatial is not square"
+    t = torch.from_numpy(np.ascontiguousarray(v.astype(np.float32)))
+    t = t.reshape(1, src, src, -1).permute(0, 3, 1, 2)
+    t = torch.nn.functional.interpolate(t, size=(hw, hw), mode="bicubic")
+    return t.reshape(1, -1, hw * hw).permute(0, 2, 1).numpy()
+
+
+def _surgery_convert(tname, val, ts):
+    """Shape-mismatch surgery for pos-embeds/rel-pos tables (reference
+    checkpoint.py:435-490; runs regardless of image_init). ``val`` is in
+    torch layout (these tables carry no layout transpose). Returns the
+    converted array or None."""
+    ts = tuple(ts)
+    if "rel_pos" in tname and val.ndim == 2 and len(ts) == 2 and val.shape[1] == ts[1]:
+        return _interp_linear(val, ts[0])
+    if "pos_embed_temporal" in tname and val.ndim == 3 and len(ts) == 3 and (
+        val.shape[2] == ts[2]
+    ):
+        return _interp_linear(val[0], ts[1])[None]
+    if "pos_embed_spatial" in tname and val.ndim == 3 and len(ts) == 3 and (
+        val.shape[2] == ts[2]
+    ):
+        return _interp_bicubic_2d(val, int(round(np.sqrt(ts[1]))))
+    return None
+
+
+def _image_init_surgery(sd, flat_params):
+    """Image->video init surgery on the torch state dict BEFORE mapping
+    (reference checkpoint.py:315-433, gated by TRAIN.CHECKPOINT_IN_INIT):
+
+    * joint pos_embed <-> separated (class + spatial) split/merge;
+    * patch_embed 2D->3D inflation by plain temporal repeat (no /T);
+    * pool_q/k/v depthwise conv temporal repeat.
+    The returned dict is a shallow copy with surgically-edited entries.
+    """
+    sd = dict(sd)
+
+    def target_shape(*names):
+        for name in names:
+            col, mods, leaf = _torch_name_to_flax_path(name)
+            for key in _candidate_keys(mods, leaf):
+                if key in flat_params:
+                    return flat_params[key].shape
+        return None
+
+    # joint -> separated split (reference :316-334 pos_embed_xy variant;
+    # here the separated layout is pos_embed_class + pos_embed_spatial).
+    sp_shape = target_shape("pos_embed_spatial")
+    if "pos_embed" in sd and sp_shape is not None and target_shape("pos_embed") is None:
+        pe = np.asarray(sd["pos_embed"])
+        if pe.shape[1] == sp_shape[1] + 1:
+            sd["pos_embed_class"] = pe[:, :1]
+            sd["pos_embed_spatial"] = pe[:, 1:]
+            sd.pop("pos_embed")
+    # separated -> joint merge (reference :369-394 video->image deflation).
+    joint_shape = target_shape("pos_embed")
+    if (
+        "pos_embed_spatial" in sd
+        and joint_shape is not None
+        and target_shape("pos_embed_spatial") is None
+    ):
+        pe = np.asarray(sd["pos_embed_spatial"])
+        if "pos_embed_class" in sd and pe.shape[1] + 1 == joint_shape[1]:
+            pe = np.concatenate([np.asarray(sd["pos_embed_class"]), pe], axis=1)
+            sd.pop("pos_embed_class")
+        if pe.shape == tuple(joint_shape):
+            sd["pos_embed"] = pe
+            sd.pop("pos_embed_spatial")
+
+    # patch_embed / pool_{q,k,v} temporal inflation by plain repeat
+    # (reference :336-357 and :397-412 — NO /T scaling, unlike CNN
+    # inflation).
+    for tname in list(sd.keys()):
+        if not tname.endswith(".weight"):
+            continue
+        if not (
+            "patch_embed.proj" in tname
+            or any(p in tname for p in ("pool_q", "pool_k", "pool_v"))
+        ):
+            continue
+        ts = target_shape(tname)
+        if ts is None or len(ts) != 5:
+            continue
+        val = np.asarray(sd[tname])
+        t = ts[0]  # flax layout (T, H, W, I, O)
+        if val.ndim == 4:  # torch (O, I, h, w) -> repeat to (O, I, t, h, w)
+            sd[tname] = np.repeat(val[:, :, None], t, axis=2)
+        elif val.ndim == 5 and val.shape[2] == 1 and t > 1:
+            sd[tname] = np.repeat(val, t, axis=2)
+        elif val.ndim == 5 and len(ts) == 4:  # video -> image: temporal sum
+            sd[tname] = val.sum(2)
+    return sd
+
+
+def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False,
+                               image_init=False):
     """Map a torch-style state dict (name -> tensor/ndarray) onto flax vars."""
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
     flat = {"params": _flatten(params), "batch_stats": _flatten(stats)}
 
+    sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    if image_init:
+        sd = _image_init_surgery(sd, flat["params"])
+
     matched, missing, unexpected = set(), [], []
-    for tname, tval in sd.items():
+    for tname, val in sd.items():
         col, mods, leaf = _torch_name_to_flax_path(tname)
         if col is None:
             continue
-        val = tval.numpy() if hasattr(tval, "numpy") else np.asarray(tval)
         candidates = _candidate_keys(mods, leaf)
         hit = None
         for key in candidates:
@@ -216,11 +339,15 @@ def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False):
             unexpected.append(tname)
             continue
         target = flat[col][hit]
-        val = _convert_weight(val, target.shape, inflate, is_kernel=hit[-1] == "kernel")
-        if val is None:
+        conv = _convert_weight(
+            val, target.shape, inflate, is_kernel=hit[-1] == "kernel"
+        )
+        if conv is None:
+            conv = _surgery_convert(tname, val, target.shape)
+        if conv is None:
             unexpected.append(f"{tname} (shape mismatch)")
             continue
-        flat[col][hit] = val.astype(target.dtype)
+        flat[col][hit] = conv.astype(target.dtype)
         matched.add((col, hit))
 
     for col in ("params", "batch_stats"):
@@ -380,7 +507,10 @@ def _load_any(path, state, cfg):
         )
     else:
         new_vars, _, _ = load_torch_checkpoint(
-            path, variables, inflate=cfg.TRAIN.CHECKPOINT_INFLATE
+            path,
+            variables,
+            inflate=cfg.TRAIN.CHECKPOINT_INFLATE,
+            image_init=getattr(cfg.TRAIN, "CHECKPOINT_IN_INIT", False),
         )
     return state.replace(
         params=new_vars["params"], batch_stats=new_vars["batch_stats"]

@@ -537,6 +537,15 @@ class AVAMeter:
         all_meta = gather_ragged_across_hosts(
             np.concatenate(self.all_metadata, axis=0)
         )
+        if self.groundtruth is None:
+            # No AVA annotation assets (synthetic/integration runs):
+            # predictions were collected but there is nothing to score.
+            logger.info(
+                "AVA groundtruth unavailable; skipping mAP (collected %d boxes)",
+                all_preds.shape[0],
+            )
+            self.full_map = 0.0
+            return self.full_map
         self.full_map = ava_eval.evaluate_ava(
             all_preds,
             all_boxes,

@@ -141,3 +141,78 @@ def test_moco_queue_warmup_blocks_updates():
     # Step 0 < 16 warmup iters: parameters must be unchanged.
     p1 = np.asarray(jax.tree.leaves(state.params["backbone"])[0])
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_moco_key_encoder_has_own_ema_batch_stats():
+    """The momentum encoder must carry its own EMA'd BN stats (reference
+    contrastive.py:153-168 EMAs all named buffers), distinct from the
+    query encoder's stats after a few steps."""
+    cfg = _ssl_cfg("moco")
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    assert "hist_batch_stats" in state.ssl_state
+
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10, donate=False)
+    batch = _batch(cfg)
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    hist = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(
+            state.ssl_state["hist_batch_stats"])]
+    )
+    online = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(state.batch_stats)]
+    )
+    # EMA'd stats lag the online stats: moved from init but not equal.
+    assert hist.size == online.size
+    assert not np.allclose(hist, online)
+
+
+def test_ssl_views_decorrelated_by_color_jitter():
+    """With DATA.SSL_COLOR_JITTER the two MoCo views of the same clip must
+    differ beyond crop/flip: force identical crops and assert a pixel
+    difference (VERDICT #6)."""
+    from slowfast_tpu.data.transform import color_jitter_video_ssl
+
+    rs = np.random.RandomState(0)
+    clip = rs.rand(4, 16, 16, 3).astype(np.float32)
+    v1 = color_jitter_video_ssl(clip.copy(), moco_v2_aug=True, p_convert_gray=0.2)
+    v2 = color_jitter_video_ssl(clip.copy(), moco_v2_aug=True, p_convert_gray=0.2)
+    diff = np.abs(v1 - v2).mean()
+    assert diff > 1e-3, f"views not decorrelated (mean diff {diff})"
+    # Output stays a valid [0,1] clip of the same shape.
+    assert v1.shape == clip.shape
+    assert v1.min() >= 0.0 and v1.max() <= 1.0
+
+
+def test_temporal_difference_and_blur():
+    from slowfast_tpu.data.transform import (
+        GaussianBlurVideo,
+        augment_raw_frames,
+        temporal_difference,
+    )
+
+    rs = np.random.RandomState(1)
+    clip = (rs.rand(4, 8, 8, 3) * 255).astype(np.float32)
+    td = temporal_difference(clip, use_grayscale=True)
+    assert td.shape == clip.shape
+    # Grayscale: all three channels identical.
+    np.testing.assert_allclose(td[..., 0], td[..., 1], atol=1e-4)
+    # Last frame repeats the previous difference.
+    np.testing.assert_allclose(td[-1], td[-2], atol=1e-4)
+
+    blurred = GaussianBlurVideo(sigma_min=[0.0, 1.0], sigma_max=[0.0, 1.0])(clip)
+    assert blurred.shape == clip.shape
+    # Blur reduces spatial variance.
+    assert blurred.std() < clip.std()
+
+    out, applied = augment_raw_frames(clip, time_diff_prob=1.0)
+    assert applied
+    assert out.min() >= 0.0 and out.max() <= 255.0

@@ -52,7 +52,54 @@ def benchmark_data_loading(cfg):
         )
 
 
+def benchmark_jpeg_decode(num_frames=64, size=(360, 640), reps=5):
+    """Native batch JPEG decoder vs per-image cv2 (the AVA/SSv2/Charades
+    frame path through data.utils.retry_load_images). Prints both rates."""
+    import tempfile
+
+    import cv2
+
+    from slowfast_tpu.data.utils import retry_load_images
+
+    rs = np.random.RandomState(0)
+    img = cv2.GaussianBlur(
+        (rs.rand(*size, 3) * 255).astype(np.uint8), (7, 7), 3
+    )
+    d = tempfile.mkdtemp()
+    paths = []
+    for i in range(num_frames):
+        p = os.path.join(d, f"f{i:03d}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    imgs = retry_load_images(paths)  # warm: builds the native lib
+    np.testing.assert_array_equal(np.asarray(imgs[0]), cv2.imread(paths[0]))
+    t0 = time.time()
+    for _ in range(reps):
+        retry_load_images(paths)
+    t_native = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        [cv2.imread(p) for p in paths]
+    t_cv2 = (time.time() - t0) / reps
+    import json
+
+    print(
+        json.dumps(
+            {
+                "_type": "benchmark_jpeg_decode",
+                "native_ms": round(t_native * 1000, 1),
+                "cv2_ms": round(t_cv2 * 1000, 1),
+                "speedup": round(t_cv2 / t_native, 2),
+            }
+        )
+    )
+
+
 def main():
+    if "--jpeg" in sys.argv:
+        benchmark_jpeg_decode()
+        return
     args = parse_args()
     for path_to_config in args.cfg_files or [None]:
         cfg = load_config(args, path_to_config)
