@@ -303,7 +303,21 @@ class Kinetics:
             frames = np.clip(f * 255.0, 0, 255).astype(np.uint8)
         if self.randaug is not None:
             frames = self.randaug(frames)
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        # uint8 pipeline: spatial resampling happens in uint8 and the
+        # normalize + pathway split run ON DEVICE inside the train step
+        # (ops/preprocess.py). Bilinear resize commutes with the affine
+        # normalization, so the only deviation from the reference's float
+        # path is one uint8 rounding after resize.
+        uint8_path = (
+            cfg.TPU.UINT8_PIPELINE
+            and cfg.MODEL.MODEL_NAME != "ContrastiveModel"
+        )
+        if not uint8_path:
+            frames = data_utils.tensor_normalize(
+                frames, cfg.DATA.MEAN, cfg.DATA.STD
+            )
+        elif frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
         scl, asp = cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE, cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE
         frames = data_utils.spatial_sampling(
             frames,
@@ -329,6 +343,9 @@ class Kinetics:
                 num_splits=cfg.AUG.RE_COUNT,
             )
             frames = re(frames)
+        if uint8_path:
+            # Single uint8 clip; the device does normalize + pathway split.
+            return [np.ascontiguousarray(frames)]
         return data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
 
 
@@ -380,8 +397,15 @@ class Syntheticvideo:
         t = cfg.DATA.NUM_FRAMES
         rng = np.random.RandomState(index)
         frames = rng.randint(0, 255, (t, crop, crop, 3), np.uint8)
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
-        inputs = data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+        if cfg.TPU.UINT8_PIPELINE and cfg.MODEL.MODEL_NAME != "ContrastiveModel":
+            inputs = [frames]
+        else:
+            frames = data_utils.tensor_normalize(
+                frames, cfg.DATA.MEAN, cfg.DATA.STD
+            )
+            inputs = data_utils.pack_pathway_output(
+                cfg, frames.astype(np.float32)
+            )
         if cfg.DETECTION.ENABLE:
             # Synthetic detection sample: 1-5 boxes with multi-hot labels,
             # matching the AVA dataset item contract (ava_dataset.py).

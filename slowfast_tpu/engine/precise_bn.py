@@ -25,8 +25,11 @@ def compute_precise_bn_stats(cfg, model, state, loader, num_batches):
     if not jax.tree_util.tree_leaves(state.batch_stats):
         return state
 
+    from slowfast_tpu.engine.steps import _maybe_device_preprocess
+
     @jax.jit
     def batch_stats_of(params, stats, inputs):
+        inputs = _maybe_device_preprocess(cfg, inputs)
         _, mutated = model.apply(
             {"params": params, "batch_stats": stats},
             inputs,

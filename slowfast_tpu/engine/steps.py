@@ -72,7 +72,7 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True,
     lr_epoch_fn = make_epoch_lr_fn(cfg)
 
     def step_fn(state: TrainState, batch, rng):
-        inputs = batch["inputs"]
+        inputs = _maybe_device_preprocess(cfg, batch["inputs"])
         labels = batch["labels"]
         rng = jax.random.fold_in(rng, state.step)
         mix_rng, drop_rng = jax.random.split(rng)
@@ -166,7 +166,10 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True,
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        batch_shardings = {"inputs": [data] * _num_pathways(cfg), "labels": data}
+        # "inputs": a single sharding broadcasts over the pathway list
+        # (pytree-prefix semantics), so the uint8 single-clip form and the
+        # float pathway-list form both shard by batch.
+        batch_shardings = {"inputs": data, "labels": data}
         if detection:
             batch_shardings["boxes"] = data
             batch_shardings["box_mask"] = data
@@ -192,15 +195,16 @@ def make_eval_step(cfg, model, mesh=None):
 
     def step_fn(state: TrainState, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        inputs = _maybe_device_preprocess(cfg, batch["inputs"])
         if detection:
-            preds = model.apply(variables, batch["inputs"], batch["boxes"], train=False)
+            preds = model.apply(variables, inputs, batch["boxes"], train=False)
         else:
-            preds = model.apply(variables, batch["inputs"], train=False)
+            preds = model.apply(variables, inputs, train=False)
         return preds
 
     if mesh is not None:
         data = NamedSharding(mesh, P("data"))
-        batch_shardings = {"inputs": [data] * _num_pathways(cfg), "labels": data}
+        batch_shardings = {"inputs": data, "labels": data}
         if detection:
             batch_shardings["boxes"] = data
         return jax.jit(step_fn, in_shardings=(None, batch_shardings))
@@ -209,3 +213,34 @@ def make_eval_step(cfg, model, mesh=None):
 
 def _num_pathways(cfg):
     return 2 if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH else 1
+
+
+def _maybe_device_preprocess(cfg, inputs):
+    """uint8 input path: normalize + pathway-split ON DEVICE.
+
+    The loader ships a single (B, T, H, W, C) uint8 clip per batch (4x less
+    host->device traffic); this converts it to the reference's normalized
+    pathway list (tensor_normalize, datasets/utils.py:278-297 +
+    pack_pathway_output, :78-111) in one fused XLA pass that the stem conv
+    consumes directly. Float inputs pass through untouched.
+    """
+    if not (len(inputs) == 1 and inputs[0].dtype == jnp.uint8):
+        return inputs
+    import numpy as np
+
+    mean = np.asarray(cfg.DATA.MEAN, np.float32)
+    std = np.asarray(cfg.DATA.STD, np.float32)
+    out_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    scale = jnp.asarray(1.0 / (255.0 * std))
+    bias = jnp.asarray(-mean / std)
+    x = (inputs[0].astype(jnp.float32) * scale + bias).astype(out_dtype)
+    if cfg.DATA.REVERSE_INPUT_CHANNEL:
+        x = x[..., ::-1]
+    if _num_pathways(cfg) == 1:
+        return [x]
+    T = x.shape[1]
+    alpha = cfg.SLOWFAST.ALPHA
+    idx = np.linspace(0, T - 1, T // alpha).astype(np.int64)
+    return [x[:, idx], x]

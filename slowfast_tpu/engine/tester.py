@@ -30,9 +30,11 @@ def perform_test(test_loader, state, eval_fn, test_meter, cfg, mesh=None):
         }
         if cfg.DETECTION.ENABLE:
             batch["boxes"] = jnp.asarray(meta["boxes"])
+        n_real = len(np.asarray(labels))
         if mesh is not None:
+            batch, n_real = mesh_lib.pad_batch_for_mesh(batch, mesh)
             batch = mesh_lib.shard_batch(batch, mesh)
-        preds = np.asarray(jax.device_get(eval_fn(state, batch)))
+        preds = np.asarray(jax.device_get(eval_fn(state, batch)))[:n_real]
         # Cross-host gather so every host's meter sees ALL views of every
         # video (reference test_net.py:116 all_gathers preds/labels/idx);
         # no-op on a single host.
@@ -93,9 +95,11 @@ def _test_one(cfg):
                 "labels": jnp.asarray(labels),
                 "boxes": jnp.asarray(meta["boxes"]),
             }
+            batch, _ = mesh_lib.pad_batch_for_mesh(batch, mesh)
             batch = mesh_lib.shard_batch(batch, mesh)
             preds = np.asarray(jax.device_get(eval_fn(state, batch)))
             valid = np.asarray(meta["box_mask"]).reshape(-1) > 0
+            preds = preds[: valid.size]
             meter.iter_toc()
             meter.update_stats(preds[valid], meta["ori_boxes"], meta["metadata"])
             meter.log_iter_stats(None, cur_iter)

@@ -113,15 +113,20 @@ def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None,
         # eval step shardings cover inputs/labels/boxes only
         batch.pop("mask", None)
         batch.pop("box_mask", None)
+        n_real = len(np.asarray(labels))
         if mesh is not None:
+            batch, n_real = mesh_lib.pad_batch_for_mesh(batch, mesh)
             batch = mesh_lib.shard_batch(batch, mesh)
         preds = eval_fn(state, batch)
-        preds = np.asarray(preds)
-        labels_np = np.asarray(labels)
+        preds = np.asarray(jax.device_get(preds))
+        if not cfg.DETECTION.ENABLE:
+            preds = preds[:n_real]
+        labels_np = np.asarray(labels)[:n_real]
         if cfg.DETECTION.ENABLE:
             # Unpad: keep predictions for real boxes only (row order matches
             # the ragged ori_boxes/metadata emitted by detection_collate).
             valid = np.asarray(meta["box_mask"]).reshape(-1) > 0
+            preds = preds[: valid.size]
             meter.update_stats(preds[valid], meta["ori_boxes"], meta["metadata"])
         elif cfg.DATA.MULTI_LABEL:
             meter.update_predictions(preds, labels_np)

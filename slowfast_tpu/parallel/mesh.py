@@ -68,6 +68,27 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def pad_batch_for_mesh(batch, mesh: Mesh):
+    """Pad every array's leading axis to a multiple of the mesh size by
+    repeating the last row (eval loaders keep partial batches,
+    drop_last=False). Returns (padded_batch, real_rows) so callers trim
+    predictions back before metering."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    arrays = [x for x in jax.tree.leaves(batch) if np.ndim(x) >= 1]
+    n = arrays[0].shape[0] if arrays else 0
+    pad = (-n) % n_dev
+    if pad == 0:
+        return batch, n
+
+    def p(x):
+        if np.ndim(x) < 1:
+            return x
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    return jax.tree.map(p, batch), n
+
+
 def is_master_proc() -> bool:
     """True on the host that should log/checkpoint
     (reference distributed.py:103-110)."""

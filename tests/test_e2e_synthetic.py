@@ -133,16 +133,24 @@ def test_synthetic_dataset_shapes():
     cfg.DATA.INPUT_CHANNEL_NUM = [3, 3]
     from slowfast_tpu.data.build import build_dataset
 
+    # uint8 pipeline (default): ONE uint8 clip; the device splits pathways.
+    ds = build_dataset("syntheticvideo", cfg, "train")
+    inputs, label, index, _, _ = ds[3]
+    assert len(inputs) == 1
+    assert inputs[0].shape == (8, 32, 32, 3)
+    assert inputs[0].dtype == np.uint8
+    assert 0 <= label < 7 and index == 3
+    again, label2, *_ = ds[3]
+    np.testing.assert_array_equal(inputs[0], again[0])
+    assert label2 == label
+
+    # float path: normalized slow+fast pathways on host.
+    cfg.TPU.UINT8_PIPELINE = False
     ds = build_dataset("syntheticvideo", cfg, "train")
     inputs, label, index, _, _ = ds[3]
     assert len(inputs) == 2  # slow + fast pathways
     assert inputs[0].shape == (2, 32, 32, 3)
     assert inputs[1].shape == (8, 32, 32, 3)
-    assert 0 <= label < 7 and index == 3
-    # Deterministic: same index -> identical pixels and label.
-    again, label2, *_ = ds[3]
-    np.testing.assert_array_equal(inputs[1], again[1])
-    assert label2 == label
 
 
 def test_chunked_csv_loading(tmp_path):

@@ -56,3 +56,33 @@ def test_device_preprocess_single_pathway():
     np.testing.assert_allclose(
         np.asarray(out), _host_normalize(x, MEAN, STD), atol=1e-5
     )
+
+
+def test_step_uint8_preprocess_matches_host_path():
+    """_maybe_device_preprocess on a uint8 batch must equal the host
+    tensor_normalize + pack_pathway_output pipeline."""
+    import jax.numpy as jnp
+
+    from slowfast_tpu.config import get_cfg
+    from slowfast_tpu.data import utils as data_utils
+    from slowfast_tpu.engine.steps import _maybe_device_preprocess
+
+    cfg = get_cfg()
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    rs = np.random.RandomState(0)
+    clip = rs.randint(0, 255, (2, 8, 16, 16, 3), np.uint8)
+
+    got = _maybe_device_preprocess(cfg, [jnp.asarray(clip)])
+    assert len(got) == 2
+    for b in range(2):
+        frames = data_utils.tensor_normalize(clip[b], cfg.DATA.MEAN, cfg.DATA.STD)
+        want = data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g[b]), w, rtol=1e-5, atol=1e-5)
+
+    # Float pathway lists pass through untouched.
+    f = [jnp.ones((2, 2, 16, 16, 3)), jnp.ones((2, 8, 16, 16, 3))]
+    out = _maybe_device_preprocess(cfg, f)
+    assert out is f
