@@ -351,6 +351,9 @@ _C.DATA = CfgNode(
         SSL_BLUR_SIGMA_MAX=[0.0, 2.0],
         IN_VAL_CROP_RATIO=0.875,
         DUMMY_LOAD=False,
+        # Size of the synthetic dataset (0 = default sizing) — TPU-native
+        # extension for input-free integration tests and benchmarks.
+        SYNTHETIC_SIZE=0,
         IN22K_TRAINVAL=False,
     )
 )

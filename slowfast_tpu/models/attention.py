@@ -1,11 +1,19 @@
 """MViT pooling attention (reference slowfast/models/attention.py:13-514).
 
 TPU-native notes:
-  * tokens stay (B, N, C); pooling reshapes to (B*heads, T, H, W, head_dim)
-    NTHWC and uses a depthwise conv / avg / max pool — all MXU/VPU friendly.
+  * tokens stay (B, N, heads*head_dim) END TO END — there is no
+    (B, heads, N, d) materialization anywhere. The reference's per-block
+    q/k/v layout flips (reshape+transpose into a heads-major layout, then
+    (B*heads, T, H, W, d) for pooling and back) cost ~30% of an MViTv2-S
+    step on v5e as pure HBM copies; here the head split lives only inside
+    einsum contraction specs (fused into the matmuls by XLA) and the
+    pooling conv runs directly on the (B, T, H, W, heads*d) clip with the
+    shared per-head depthwise weights tiled across heads (a weight-side
+    transform, zero data movement).
   * the attention matmuls run through einsum with fp32 accumulation; the
-    decomposed relative-position bias is added as rank-structured einsum
-    terms (no (N x M x C) materialization beyond the attention logits).
+    decomposed relative-position bias is folded into the q.k contraction
+    as augmented channels (see _augment_qk_relpos) — matmul-only forward
+    and backward.
   * all shape decisions (pool schedules, rel-pos interpolation) happen at
     trace time, so XLA sees fully static shapes.
 """
@@ -18,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .common import Mlp, drop_path
+from .common import Conv3DParam, Mlp, drop_path
 
 # MViT's unusual init convention (reference video_model_builder.py:1085-1092):
 # Linear/conv weights trunc_normal(0.02), Linear & LayerNorm biases = 0.02.
@@ -26,31 +34,57 @@ trunc02 = nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0)
 bias02 = nn.initializers.constant(0.02)
 
 
-def _pool_tokens(x, thw, kernel, stride, mode, has_cls, pool_conv=None):
-    """Pool (B, H_heads, L, C) tokens spatially/temporally.
+def pool_tokens_flat(x, thw, kernel, stride, mode, has_cls, pool_w=None,
+                     heads=1):
+    """Pool (B, L, C) tokens spatially/temporally WITHOUT a head split.
 
-    Returns (pooled tokens, new thw). ``pool_conv`` is a bound flax module
-    (depthwise conv) when mode == 'conv'.
+    C = heads * dim_conv; ``pool_w`` is the shared per-head depthwise
+    kernel (kt, kh, kw, 1, dim_conv), tiled across heads channel-wise
+    (channel c uses tap c % dim_conv — the head axis is slowest in the
+    (heads, d) feature decomposition, matching the reference's shared
+    Conv3d(groups=head_dim) applied per head). Returns (pooled, new_thw).
     """
     if not kernel:
         return x, thw
-    B, nh, L, C = x.shape
+    B, L, C = x.shape
     cls_tok = None
     if has_cls:
-        cls_tok, x = x[:, :, :1, :], x[:, :, 1:, :]
+        cls_tok, x = x[:, :1], x[:, 1:]
     T, H, W = thw
-    x = x.reshape(B * nh, T, H, W, C)
+    x4 = x.reshape(B, T, H, W, C)
     if mode in ("avg", "max"):
         pad = [(k // 2, k // 2) for k in kernel]
         op = nn.max_pool if mode == "max" else nn.avg_pool
-        x = op(x, tuple(kernel), tuple(stride), pad)
+        y = op(x4, tuple(kernel), tuple(stride), pad)
     else:  # conv
-        x = pool_conv(x)
-    new_thw = list(x.shape[1:4])
-    x = x.reshape(B, nh, -1, C)
+        from slowfast_tpu.ops.video_conv import video_conv
+
+        w = pool_w
+        if heads > 1:
+            w = jnp.tile(w, (1, 1, 1, 1, heads))
+        y = video_conv(
+            x4,
+            w.astype(x.dtype),
+            stride=tuple(stride),
+            padding=tuple(k // 2 for k in kernel),
+            groups=C,
+        )
+    new_thw = list(y.shape[1:4])
+    y = y.reshape(B, -1, C)
     if has_cls:
-        x = jnp.concatenate([cls_tok, x], axis=2)
-    return x, new_thw
+        y = jnp.concatenate([cls_tok, y], axis=1)
+    return y, new_thw
+
+
+def _pool_tokens(x, thw, kernel, stride, mode, has_cls, pool_conv=None):
+    """Legacy (B, nh, L, C) pooling — kept for max-mode residual paths."""
+    if not kernel:
+        return x, thw
+    B, nh, L, C = x.shape
+    y, new_thw = pool_tokens_flat(
+        x.reshape(B * nh, L, C), thw, kernel, stride, mode, has_cls
+    )
+    return y.reshape(B, nh, -1, C), new_thw
 
 
 def _resize_rel_pos(rel_pos, d):
@@ -73,66 +107,22 @@ def _rel_dist(q_size, k_size):
     return jnp.asarray(dist.astype(np.int64))
 
 
-def rel_pos_bias(
-    q, has_cls, q_shape, k_shape,
-    rel_pos_h=None, rel_pos_w=None, rel_pos_t=None,
-):
-    """Combined decomposed rel-pos bias, built flat in ONE fused pass.
-
-    Equivalent to the reference's sequential spatial+temporal updates
-    (attention.py:64-147) but without slicing/scattering the attention
-    matrix: the (Nq, Nk) bias is assembled from the three rank-structured
-    einsum terms and zero-padded for the cls row/col (cls gets +0 in the
-    reference too, since updates only touch attn[..., sp:, sp:]).
-    Avoids the f32 dynamic-update-slice copies of the full attention
-    matrix (~6.5 ms each at MViTv2-S block sizes on v5e).
-    """
-    sp = 1 if has_cls else 0
-    q_t, q_h, q_w = q_shape
-    k_t, k_h, k_w = k_shape
-    B, nh = q.shape[:2]
-    r_q = q[:, :, sp:].reshape(B, nh, q_t, q_h, q_w, -1)
-
-    terms = []
-    if rel_pos_h is not None:
-        Rh = _resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_dist(q_h, k_h)]
-        Rw = _resize_rel_pos(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_dist(q_w, k_w)]
-        rel_h = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(r_q.dtype))
-        rel_w = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(r_q.dtype))
-        terms.append(rel_h[:, :, :, :, :, None, :, None])
-        terms.append(rel_w[:, :, :, :, :, None, None, :])
-    if rel_pos_t is not None:
-        Rt = _resize_rel_pos(rel_pos_t, 2 * max(q_t, k_t) - 1)[_rel_dist(q_t, k_t)]
-        rel_t = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(r_q.dtype))
-        terms.append(rel_t[:, :, :, :, :, :, None, None])
-
-    bias = terms[0]
-    for t in terms[1:]:
-        bias = bias + t
-    bias = jnp.broadcast_to(
-        bias, (B, nh, q_t, q_h, q_w, k_t, k_h, k_w)
-    ).reshape(B, nh, q_t * q_h * q_w, k_t * k_h * k_w)
-    if sp:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (sp, 0), (sp, 0)))
-    return bias
-
-
 def _augment_qk_relpos(q, k, scale, has_cls, q_shape, k_shape,
                        rel_pos_h, rel_pos_w, rel_pos_t):
     """Fold decomposed rel-pos into augmented q/k for a single matmul.
 
-    attn[q, k] = scale*q.k + rel_h_q[q, kh(k)] + rel_w_q[q, kw(k)]
-               + rel_t_q[q, kt(k)]; the bias terms become extra contraction
-    channels: q gains the per-axis bias rows, k gains the matching one-hot
-    position indicators (zeros on the cls row/col -> bias 0, matching the
-    reference's sp: slicing).
+    q, k: (B, N, heads, d). attn[q, k] = scale*q.k + rel_h_q[q, kh(k)]
+    + rel_w_q[q, kw(k)] + rel_t_q[q, kt(k)]; the bias terms become extra
+    contraction channels: q gains the per-axis bias rows, k gains the
+    matching one-hot position indicators (zeros on the cls row/col ->
+    bias 0, matching the reference's sp: slicing).
     """
     sp = 1 if has_cls else 0
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
-    B, nh, Nq, C = q.shape
-    Nk = k.shape[2]
-    r_q = q[:, :, sp:].reshape(B, nh, q_t, q_h, q_w, C)
+    B, Nq, nh, C = q.shape
+    Nk = k.shape[1]
+    r_q = q[:, sp:].reshape(B, q_t, q_h, q_w, nh, C)
 
     extras_q = []
     extras_k = []
@@ -146,26 +136,32 @@ def _augment_qk_relpos(q, k, scale, has_cls, q_shape, k_shape,
     if rel_pos_h is not None:
         Rh = _resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[_rel_dist(q_h, k_h)]
         Rw = _resize_rel_pos(rel_pos_w, 2 * max(q_w, k_w) - 1)[_rel_dist(q_w, k_w)]
-        rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(r_q.dtype))
-        rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(r_q.dtype))
+        rel_h_q = jnp.einsum(
+            "bxyznc,ykc->bxyznk", r_q, Rh.astype(r_q.dtype)
+        )
+        rel_w_q = jnp.einsum(
+            "bxyznc,zkc->bxyznk", r_q, Rw.astype(r_q.dtype)
+        )
         extras_q += [
-            rel_h_q.reshape(B, nh, Nq - sp, k_h),
-            rel_w_q.reshape(B, nh, Nq - sp, k_w),
+            rel_h_q.reshape(B, Nq - sp, nh, k_h),
+            rel_w_q.reshape(B, Nq - sp, nh, k_w),
         ]
         extras_k += [onehot_axis(k_h, k_h, k_w), onehot_axis(k_w, k_w, 1)]
     if rel_pos_t is not None:
         Rt = _resize_rel_pos(rel_pos_t, 2 * max(q_t, k_t) - 1)[_rel_dist(q_t, k_t)]
-        rel_t_q = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(r_q.dtype))
-        extras_q.append(rel_t_q.reshape(B, nh, Nq - sp, k_t))
+        rel_t_q = jnp.einsum(
+            "bxyznc,xkc->bxyznk", r_q, Rt.astype(r_q.dtype)
+        )
+        extras_q.append(rel_t_q.reshape(B, Nq - sp, nh, k_t))
         extras_k.append(onehot_axis(k_t, k_t, k_h * k_w))
 
-    eq = jnp.concatenate(extras_q, axis=-1)
+    eq = jnp.concatenate(extras_q, axis=-1)  # (B, Nq-sp, nh, extra)
     if sp:
-        eq = jnp.pad(eq, ((0, 0), (0, 0), (sp, 0), (0, 0)))
+        eq = jnp.pad(eq, ((0, 0), (sp, 0), (0, 0), (0, 0)))
     ek = jnp.concatenate(extras_k, axis=-1)  # (Nk_core, extra)
     if sp:
         ek = jnp.pad(ek, ((sp, 0), (0, 0)))
-    ek = jnp.broadcast_to(ek[None, None], (B, nh) + ek.shape)
+    ek = jnp.broadcast_to(ek[None, :, None, :], (B, Nk, nh) + ek.shape[-1:])
 
     q_aug = jnp.concatenate([q * scale, eq.astype(q.dtype)], axis=-1)
     k_aug = jnp.concatenate([k, ek.astype(k.dtype)], axis=-1)
@@ -195,21 +191,24 @@ class MultiScaleAttention(nn.Module):
     separate_qkv: bool = False
     dtype: Any = None
 
-    def _make_pool(self, kernel, stride, dim_conv, name):
+    def _pool_param(self, kernel, dim_conv, name):
         if self.mode not in ("conv", "conv_unshared") or not kernel:
             return None
-        from .common import Conv3D
-
-        return Conv3D(
+        return Conv3DParam(
             features=dim_conv,
             kernel=tuple(kernel),
-            stride=tuple(stride),
-            padding=tuple(k // 2 for k in kernel),
-            groups=dim_conv,
             kernel_init=trunc02,
-            dtype=self.dtype,
             name=name,
-        )
+        )(1)
+
+    @staticmethod
+    def _apply_ln_heads(ln, x, heads):
+        """Apply a LayerNorm over the per-head feature dim of
+        (B, L, heads*d); ``ln`` is a bound module so reuse shares weights."""
+        B, L, C = x.shape
+        if heads == 1:
+            return ln(x)
+        return ln(x.reshape(B, L, heads, C // heads)).reshape(B, L, C)
 
     @nn.compact
     def __call__(self, x, thw_shape, deterministic: bool = True, res_input=None):
@@ -218,7 +217,8 @@ class MultiScaleAttention(nn.Module):
         reversible_mvit.py:352-366). When given, returns
         (out, q_shape, pooled_res)."""
         B, N, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
+        nh = self.num_heads
+        head_dim = self.dim_out // nh
         scale = head_dim ** -0.5
         # Skip no-op pooling (reference :197-200).
         kq = () if np.prod(self.kernel_q or (1,)) == 1 and np.prod(
@@ -228,20 +228,18 @@ class MultiScaleAttention(nn.Module):
             self.stride_kv or (1,)
         ) == 1 else tuple(self.kernel_kv)
 
-        dim_conv = (
-            (self.dim if self.pool_first else self.dim_out) // self.num_heads
-            if self.mode == "conv"
-            else (self.dim if self.pool_first else self.dim_out)
-        )
-        pool_q = self._make_pool(kq, self.stride_q, dim_conv, "pool_q")
-        pool_k = self._make_pool(kkv, self.stride_kv, dim_conv, "pool_k")
-        pool_v = self._make_pool(kkv, self.stride_kv, dim_conv, "pool_v")
         conv_mode = self.mode in ("conv", "conv_unshared")
-        norm_q = (
-            nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_q")
-            if conv_mode and kq
-            else None
-        )
+        # conv: one shared depthwise kernel per head; conv_unshared: every
+        # channel its own tap (heads factor 1 in the tiling).
+        if self.mode == "conv":
+            dim_conv = (self.dim if self.pool_first else self.dim_out) // nh
+            tile_heads = nh
+        else:
+            dim_conv = self.dim if self.pool_first else self.dim_out
+            tile_heads = 1
+        w_q = self._pool_param(kq, dim_conv, "pool_q")
+        w_k = self._pool_param(kkv, dim_conv, "pool_k")
+        w_v = self._pool_param(kkv, dim_conv, "pool_v")
 
         dense = lambda feats, name: nn.Dense(
             feats,
@@ -253,51 +251,52 @@ class MultiScaleAttention(nn.Module):
         )
 
         if self.pool_first:
-            fold = self.num_heads if self.mode == "conv" else 1
-            xf = x.reshape(B, N, fold, -1).transpose(0, 2, 1, 3)
-            q = k = v = xf
+            q = k = v = x
         else:
             if not self.separate_qkv:
                 qkv = dense(self.dim_out * 3, "qkv")(x)
-                qkv = qkv.reshape(B, N, 3, self.num_heads, -1).transpose(2, 0, 3, 1, 4)
-                q, k, v = qkv[0], qkv[1], qkv[2]
+                # feature decomposition (3, heads, d): member-major slices.
+                q, k, v = jnp.split(qkv, 3, axis=-1)
             else:
-                q = dense(self.dim_out, "q")(x).reshape(
-                    B, N, self.num_heads, -1
-                ).transpose(0, 2, 1, 3)
-                k = dense(self.dim_out, "k")(x).reshape(
-                    B, N, self.num_heads, -1
-                ).transpose(0, 2, 1, 3)
-                v = dense(self.dim_out, "v")(x).reshape(
-                    B, N, self.num_heads, -1
-                ).transpose(0, 2, 1, 3)
+                q = dense(self.dim_out, "q")(x)
+                k = dense(self.dim_out, "k")(x)
+                v = dense(self.dim_out, "v")(x)
 
-        q, q_shape = _pool_tokens(
-            q, thw_shape, kq, self.stride_q, self.mode, self.has_cls_embed, pool_q
+        pool = lambda t, kern, strd, w: pool_tokens_flat(
+            t, thw_shape, kern, strd, self.mode, self.has_cls_embed,
+            pool_w=w, heads=tile_heads,
         )
-        k, k_shape = _pool_tokens(
-            k, thw_shape, kkv, self.stride_kv, self.mode, self.has_cls_embed, pool_k
-        )
-        v, v_shape = _pool_tokens(
-            v, thw_shape, kkv, self.stride_kv, self.mode, self.has_cls_embed, pool_v
+        q, q_shape = pool(q, kq, self.stride_q, w_q)
+        k, k_shape = pool(k, kkv, self.stride_kv, w_k)
+        v, v_shape = pool(v, kkv, self.stride_kv, w_v)
+        ln_heads = nh if self.mode == "conv" else 1
+        ln_q = (
+            nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_q")
+            if conv_mode and kq
+            else None
         )
         if conv_mode:
-            if norm_q is not None:
-                q = norm_q(q)
+            if kq:
+                q = self._apply_ln_heads(ln_q, q, ln_heads)
             if kkv:
-                k = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_k")(k)
-                v = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_v")(v)
+                k = self._apply_ln_heads(
+                    nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_k"),
+                    k, ln_heads,
+                )
+                v = self._apply_ln_heads(
+                    nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_v"),
+                    v, ln_heads,
+                )
 
         if self.pool_first:
-            def unfold(t, shape, name):
-                n_tok = int(np.prod(shape)) + (1 if self.has_cls_embed else 0)
-                t = t.transpose(0, 2, 1, 3).reshape(B, n_tok, -1)
-                t = dense(self.dim_out, name)(t)
-                return t.reshape(B, n_tok, self.num_heads, -1).transpose(0, 2, 1, 3)
+            q = dense(self.dim_out, "q")(q)
+            k = dense(self.dim_out, "k")(k)
+            v = dense(self.dim_out, "v")(v)
 
-            q = unfold(q, q_shape, "q")
-            k = unfold(k, k_shape, "k")
-            v = unfold(v, v_shape, "v")
+        Nq, Nk = q.shape[1], k.shape[1]
+        qh = q.reshape(B, Nq, nh, head_dim)
+        kh = k.reshape(B, Nk, nh, head_dim)
+        vh = v.reshape(B, Nk, nh, head_dim)
 
         rel_pos_h = rel_pos_w = rel_pos_t = None
         init = nn.initializers.zeros if self.rel_pos_zero_init else trunc02
@@ -320,31 +319,33 @@ class MultiScaleAttention(nn.Module):
             # materialization or broadcast-reduce VJPs; those cost ~45% of
             # an MViTv2-S step on v5e).
             q_aug, k_aug = _augment_qk_relpos(
-                q, k, scale, self.has_cls_embed, q_shape, k_shape,
+                qh, kh, scale, self.has_cls_embed, q_shape, k_shape,
                 rel_pos_h, rel_pos_w, rel_pos_t,
             )
             attn = jnp.einsum(
-                "bhqc,bhkc->bhqk", q_aug, k_aug,
+                "bqnc,bknc->bnqk", q_aug, k_aug,
                 preferred_element_type=jnp.float32,
             )
         else:
             attn = jnp.einsum(
-                "bhqc,bhkc->bhqk", q * scale, k,
+                "bqnc,bknc->bnqk", qh * scale, kh,
                 preferred_element_type=jnp.float32,
             )
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
 
-        x = jnp.einsum("bhqk,bhkc->bhqc", attn, v, preferred_element_type=jnp.float32)
-        x = x.astype(v.dtype)
+        xo = jnp.einsum(
+            "bnqk,bknc->bqnc", attn, vh, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
         if self.residual_pooling:
             # MViTv2 residual pooling (reference :381-385): skip cls token.
             if self.has_cls_embed:
-                x = jnp.concatenate([x[:, :, :1], x[:, :, 1:] + q[:, :, 1:]], axis=2)
+                xo = jnp.concatenate(
+                    [xo[:, :1], xo[:, 1:] + qh[:, 1:]], axis=1
+                )
             else:
-                x = x + q
+                xo = xo + qh
 
-        Nq = x.shape[2]
-        x = x.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim_out)
+        x = xo.reshape(B, Nq, self.dim_out)
         x = nn.Dense(
             self.dim_out,
             kernel_init=trunc02,
@@ -358,16 +359,9 @@ class MultiScaleAttention(nn.Module):
         if res_input is not None:
             # Pool the residual with the SAME conv + norm as Q (weight
             # sharing with pool_q/norm_q, reference reversible_mvit.py:352).
-            fold = self.num_heads if self.mode == "conv" else 1
-            Br, Nr, Cr = res_input.shape
-            r = res_input.reshape(Br, Nr, fold, Cr // fold).transpose(0, 2, 1, 3)
-            r, _ = _pool_tokens(
-                r, thw_shape, kq, self.stride_q, self.mode, self.has_cls_embed,
-                pool_q,
-            )
-            if norm_q is not None:
-                r = norm_q(r)
-            r = r.transpose(0, 2, 1, 3).reshape(Br, r.shape[2], Cr)
+            r, _ = pool(res_input, kq, self.stride_q, w_q)
+            if ln_q is not None:
+                r = self._apply_ln_heads(ln_q, r, ln_heads)
             return x, q_shape, r
         return x, q_shape
 
@@ -447,15 +441,10 @@ class MultiScaleBlock(nn.Module):
         stride_skip = tuple(self.stride_q)
         if stride_skip and np.prod(stride_skip) > 1:
             kernel_skip = tuple(s + 1 if s > 1 else s for s in stride_skip)
-            x_res, _ = _pool_tokens(
-                x[:, None] if x.ndim == 3 else x,
-                thw_shape,
-                kernel_skip,
-                stride_skip,
-                "max",
+            x_res, _ = pool_tokens_flat(
+                x, thw_shape, kernel_skip, stride_skip, "max",
                 self.has_cls_embed,
             )
-            x_res = x_res[:, 0]
         else:
             x_res = x
 

@@ -294,10 +294,17 @@ class MViT(nn.Module):
                 name=f"blocks_{i}",
             )(x, tuple(thw), not train)
             # Track thw statically (remat boxes returned python ints).
+            # Pooling with kernel k (odd or s+1) and pad k//2 yields
+            # ceil(size/stride) = (size-1)//stride + 1, NOT size//stride —
+            # they differ for odd sizes (e.g. 7 -> 4, not 3).
             if blk["stride_q"]:
-                thw = [size // stride for size, stride in zip(thw, blk["stride_q"])]
+                thw = [
+                    (size - 1) // stride + 1
+                    for size, stride in zip(thw, blk["stride_q"])
+                ]
                 input_size = [
-                    size // stride for size, stride in zip(input_size, blk["stride_q"])
+                    (size - 1) // stride + 1
+                    for size, stride in zip(input_size, blk["stride_q"])
                 ]
         final_dim = blocks[-1]["dim_out"]
 

@@ -275,10 +275,15 @@ class ReversibleMViT(nn.Module):
                 )
             )
             if sched[i]["stride_q"]:
+                # Pool output size is ceil(s/st) with pad k//2 (see mvit.py).
                 input_size = [
-                    s // st for s, st in zip(input_size, sched[i]["stride_q"])
+                    (s - 1) // st + 1
+                    for s, st in zip(input_size, sched[i]["stride_q"])
                 ]
-                cur_thw = [s // st for s, st in zip(cur_thw, sched[i]["stride_q"])]
+                cur_thw = [
+                    (s - 1) // st + 1
+                    for s, st in zip(cur_thw, sched[i]["stride_q"])
+                ]
 
         # Execute: reversible spans with remat, transitions in between.
         i = 0

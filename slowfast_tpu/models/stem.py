@@ -49,23 +49,61 @@ class ResNetBasicStem(nn.Module):
 
         if C < SMALL_C and st == 1:
             # Folded pipeline. Parameter lives under conv/kernel exactly as
-            # in the direct path.
+            # in the direct path. The conv runs CHUNKED: output chunks of G
+            # frames (G*co >= 128 lanes) with their (G+kt-1)-frame input
+            # windows stacked into the batch dim — the full-T Toeplitz
+            # kernel is kt/Tin dense (7.2x wasted stem FLOPs at T=32,kt=5),
+            # chunking drops the inflation to (G+kt-1)/G.
             import jax
             import jax.numpy as jnp
 
+            from slowfast_tpu.ops.video_conv import (
+                _pick_chunk,
+                _toeplitz_weights_span,
+                max_pool_2d_slices,
+            )
+
             kernel = self.param_holder(C)
             xp = jnp.pad(x, ((0, 0), (pt, pt), (0, 0), (0, 0), (0, 0)))
-            xf = fold_time(xp).astype(x.dtype)
-            Wb, Tout = _toeplitz_weights(kernel.astype(x.dtype), T, st, pt)
-            y = _conv2d(xf, Wb, (sh, sw), (ph, pw))
-            y = self.norm(self.dim_out, name="bn", folded_t=Tout)(y, train=train)
+            Tp = T + 2 * pt
+            Tout = (Tp - kt) // st + 1
+            G = _pick_chunk(Tout, self.dim_out)
+            n = Tout // G
+            if n <= 1:
+                xf = fold_time(xp).astype(x.dtype)
+                Wb, _ = _toeplitz_weights_span(kernel.astype(x.dtype), Tp, st)
+                y = _conv2d(xf, Wb, (sh, sw), (ph, pw))
+                G = Tout
+            else:
+                span = (G - 1) * st + kt
+                xc = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice_in_dim(xp, j * G * st, span, 1)
+                        for j in range(n)
+                    ],
+                    axis=1,
+                ).reshape(B * n, span, H, W, C)
+                xf = fold_time(xc).astype(x.dtype)
+                Wb, _ = _toeplitz_weights_span(
+                    kernel.astype(x.dtype), span, st
+                )
+                y = _conv2d(xf, Wb, (sh, sw), (ph, pw))  # (B*n,Ho,Wo,G*co)
+            y = self.norm(self.dim_out, name="bn", folded_t=G)(y, train=train)
             y = nn.relu(y)
-            from slowfast_tpu.ops.video_conv import max_pool_2d_slices
-
             y = max_pool_2d_slices(y, (3, 3), (2, 2), (1, 1))
+            co = self.dim_out
+            Ho, Wo = y.shape[1], y.shape[2]
+            if n <= 1:
+                return y if self.keep_folded else unfold_time(y, Tout)
+            y = y.reshape(B, n, Ho, Wo, G * co)
             if self.keep_folded:
-                return y
-            return unfold_time(y, Tout)
+                # (B, Ho, Wo, Tout*co), time-major channels.
+                return y.transpose(0, 2, 3, 1, 4).reshape(B, Ho, Wo, Tout * co)
+            return (
+                y.reshape(B, n, Ho, Wo, G, co)
+                .transpose(0, 1, 4, 2, 3, 5)
+                .reshape(B, Tout, Ho, Wo, co)
+            )
 
         x = conv3d(
             self.dim_out,

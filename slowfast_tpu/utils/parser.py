@@ -43,8 +43,10 @@ def parse_args():
         nargs="+",
     )
     parser.add_argument(
-        "opts",
-        help="Config overrides: pairs of KEY VALUE appended after the flags.",
+        "--opts",
+        help="Config overrides: --opts KEY VALUE [KEY VALUE ...] "
+        "(reference parser.py:56-61; a bare positional REMAINDER would be "
+        "swallowed by --cfg's nargs='+').",
         default=None,
         nargs=argparse.REMAINDER,
     )
