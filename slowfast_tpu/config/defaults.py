@@ -331,6 +331,9 @@ _C.DATA = CfgNode(
         TRAIN_JITTER_FPS=0.0,
         DECODING_BACKEND="cv2",
         DECODING_SHORT_SIZE=256,
+        # TPU addition: fuse the train-time short-side scale jitter into
+        # the native decoder's sws_scale (one image pass on the host).
+        DECODE_AT_SCALE=True,
         INV_UNIFORM_SAMPLE=False,
         RANDOM_FLIP=True,
         MULTI_LABEL=False,

@@ -1,10 +1,17 @@
 """Video decoding and temporal sampling.
 
-Reference: slowfast/datasets/decoder.py:17-616. The decode backend here is
-OpenCV (cv2.VideoCapture, C++/FFmpeg under the hood) since PyAV/torchvision
-are not part of the TPU image; the temporal-sampling math (clip placement,
-linspace frame selection, TARGET_FPS normalization) reproduces the
-reference exactly.
+Reference: slowfast/datasets/decoder.py:17-616. Two decode backends:
+
+- native (default): the first-party C++/FFmpeg decode service
+  (``native/video_decode.cc``) with exact PTS-window seek (keyframe seek +
+  decode-forward + drop, the reference's PyAV semantics at
+  decoder.py:186-225), in-memory bytes decode, and multi-clip single-pass
+  sweep (decoder.py:228-370).
+- cv2 fallback: frame-position seek (codec-dependent accuracy) used when
+  FFmpeg dev libraries are unavailable.
+
+The temporal-sampling math (clip placement, linspace frame selection,
+TARGET_FPS normalization) reproduces the reference exactly.
 """
 
 import math
@@ -79,6 +86,81 @@ def get_video_fps_and_frames(path):
     return cap, fps, n
 
 
+def _sample_positions(frame_idx, start_idx, end_idx, num_frames):
+    """Positions of linspace-sampled frames within a decoded window.
+
+    frame_idx: (N,) stream indices of the kept frames. Maps each linspace
+    target (in the stream frame-index domain) to the nearest kept frame
+    at-or-after it, reproducing the reference's relative-index sampling
+    (decoder.py:17-34) while tolerating dropped frames.
+    """
+    targets = np.linspace(start_idx, end_idx, num_frames)
+    targets = np.clip(targets, frame_idx[0], frame_idx[-1])
+    pos = np.searchsorted(frame_idx, np.floor(targets).astype(np.int64))
+    return np.clip(pos, 0, len(frame_idx) - 1)
+
+
+def decode_native(
+    source,
+    sampling_rate,
+    num_frames,
+    clip_idx=-1,
+    num_clips=10,
+    target_fps=30,
+    max_spatial_scale=0,
+    use_offset=False,
+    n_views=1,
+):
+    """Exact PTS-window decode via the native FFmpeg service.
+
+    source may be a filesystem path or in-memory video bytes. n_views > 1
+    samples that many independent random temporal windows (SSL multi-view)
+    and decodes them all in ONE packet sweep — the reference's multi-clip
+    single-pass decode (decoder.py:228-370).
+
+    Returns (list-of-(T,H,W,C)-uint8 if n_views>1 else single array, fps,
+    decode_all_video) or None.
+    """
+    from slowfast_tpu.native import video as native_video
+
+    probed = native_video.probe(source)
+    if probed is None:
+        return None
+    fps, total, _, _ = probed
+    if total <= 0:
+        return None
+
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    windows = []
+    for _ in range(max(n_views, 1)):
+        s, e, _ = get_start_end_idx(
+            total, clip_size, clip_idx, num_clips, use_offset=use_offset
+        )
+        windows.append((s, e))
+
+    view = native_video.decode_windows_view(
+        source, windows, short_side=max_spatial_scale
+    )
+    if view is None:
+        return None
+    # Zero-copy consume: only the linspace-sampled frames are copied out of
+    # the C-owned buffer (fancy indexing), never the whole decode window.
+    with view:
+        data, frame_idx, fps = view.data, view.frame_idx, view.fps
+        clips = []
+        for s, e in windows:
+            lo = int(math.floor(s))
+            hi = int(math.ceil(e))
+            win_pos = np.nonzero((frame_idx >= lo) & (frame_idx <= hi))[0]
+            if win_pos.size == 0:
+                return None
+            pos = _sample_positions(frame_idx[win_pos], s, e, num_frames)
+            clips.append(data[win_pos[pos]])
+    if n_views <= 1:
+        return clips[0], fps, False
+    return clips, fps, False
+
+
 def decode(
     path,
     sampling_rate,
@@ -98,6 +180,22 @@ def decode(
     Returns (frames uint8 (T,H,W,C), fps, decode_all_video) or None.
     """
     import cv2
+
+    try:
+        result = decode_native(
+            path,
+            sampling_rate,
+            num_frames,
+            clip_idx=clip_idx,
+            num_clips=num_clips,
+            target_fps=target_fps,
+            max_spatial_scale=max_spatial_scale,
+            use_offset=use_offset,
+        )
+        if result is not None:
+            return result
+    except Exception:
+        pass
 
     cap, fps, total = get_video_fps_and_frames(path)
     if cap is None or total <= 0:

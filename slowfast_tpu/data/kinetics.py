@@ -138,6 +138,28 @@ class Kinetics:
             crop_size = cfg.DATA.TEST_CROP_SIZE
 
         sampling_rate = cfg.DATA.SAMPLING_RATE
+        # Decode-at-scale: on the standard train path, sample the
+        # short-side jitter size BEFORE decoding and fuse the resize into
+        # the decoder's sws_scale (one image pass instead of decode-write +
+        # resize-read-write; host memcpy bandwidth is the loader
+        # bottleneck). The size is drawn from the same distribution the
+        # jitter transform would use (reference transform.py:48-98), so the
+        # spatial statistics are unchanged; the later jitter becomes a
+        # no-op (or the sole upscale when the source is smaller).
+        decode_at_scale = 0
+        if (
+            self.mode == "train"
+            and cfg.DATA.DECODE_AT_SCALE
+            and not cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE
+            and not (cfg.AUG.ENABLE and cfg.AUG.NUM_SAMPLE > 1)
+            and cfg.MODEL.MODEL_NAME != "ContrastiveModel"
+        ):
+            from .transform import sample_jitter_size
+
+            decode_at_scale = sample_jitter_size(
+                min_scale, max_scale, cfg.DATA.INV_UNIFORM_SAMPLE
+            )
+            min_scale = max_scale = decode_at_scale
         for i_try in range(self._num_retries):
             result = decoder.decode(
                 self._path_to_videos[index],
@@ -149,7 +171,7 @@ class Kinetics:
                 max_spatial_scale=(
                     cfg.DATA.DECODING_SHORT_SIZE
                     if self.mode in ["test"]
-                    else 0
+                    else decode_at_scale
                 ),
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
             )
@@ -179,10 +201,34 @@ class Kinetics:
             n_s = max(cfg.DATA.TRAIN_CROP_NUM_SPATIAL, 1)
             if n_t * n_s < 2:
                 n_s = 2
+            # Extra temporal windows decoded in ONE packet sweep from an
+            # in-memory byte buffer (native multi-clip single-pass;
+            # reference decoder.py:228-370). Falls back to per-view decode.
+            extra_views = []
+            if n_t > 1:
+                try:
+                    with open(self._path_to_videos[index], "rb") as f:
+                        video_bytes = f.read()
+                    result = decoder.decode_native(
+                        video_bytes,
+                        sampling_rate,
+                        cfg.DATA.NUM_FRAMES,
+                        clip_idx=-1,
+                        num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                        target_fps=cfg.DATA.TARGET_FPS,
+                        use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                        n_views=n_t - 1,
+                    )
+                    if result is not None:
+                        extra_views = list(result[0])
+                except Exception:
+                    extra_views = []
             views = []
             for t in range(n_t):
                 if t == 0:
                     t_frames = frames
+                elif t - 1 < len(extra_views):
+                    t_frames = extra_views[t - 1]
                 else:
                     # Fresh random temporal window for each extra view.
                     result = decoder.decode(

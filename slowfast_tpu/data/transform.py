@@ -22,6 +22,13 @@ def _interp(img, size_wh, interpolation="bilinear"):
     return cv2.resize(img, size_wh, interpolation=flag)
 
 
+def sample_jitter_size(min_size, max_size, inverse_uniform_sampling=False):
+    """Draw the short-side jitter size (reference transform.py:48-98)."""
+    if inverse_uniform_sampling:
+        return int(round(1.0 / random.uniform(1.0 / max_size, 1.0 / min_size)))
+    return int(round(random.uniform(min_size, max_size)))
+
+
 def random_short_side_scale_jitter(
     frames, min_size, max_size, inverse_uniform_sampling=False
 ):
@@ -29,10 +36,7 @@ def random_short_side_scale_jitter(
 
     frames: (T, H, W, C) float or uint8.
     """
-    if inverse_uniform_sampling:
-        size = int(round(1.0 / random.uniform(1.0 / max_size, 1.0 / min_size)))
-    else:
-        size = int(round(random.uniform(min_size, max_size)))
+    size = sample_jitter_size(min_size, max_size, inverse_uniform_sampling)
     h, w = frames.shape[1], frames.shape[2]
     if (w <= h and w == size) or (h <= w and h == size):
         return frames

@@ -30,8 +30,11 @@ def cross_entropy(logits, labels, reduction="mean"):
 
 def soft_cross_entropy(logits, labels, reduction="mean"):
     """Soft-target CE without target normalization
-    (pytorchvideo SoftTargetCrossEntropyLoss(normalize_targets=False))."""
+    (pytorchvideo SoftTargetCrossEntropyLoss(normalize_targets=False)).
+    Int labels (mixup disabled) are one-hot encoded first."""
     logits = logits.astype(jnp.float32)
+    if labels.ndim < logits.ndim:
+        labels = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.sum(labels * logp, axis=-1)
     return _reduce(loss, reduction)

@@ -1,0 +1,143 @@
+"""Native video decode service tests.
+
+Covers the VERDICT round-1 gaps: seek accuracy vs sequential ground truth
+(the cv2 CAP_PROP_POS_FRAMES frame-seek is codec-dependent; the native
+FFmpeg path must be exact), in-memory decode, multi-window single-pass,
+and the reference temporal-sampling semantics of `decode()`
+(reference slowfast/datasets/decoder.py:186-370, 452-616).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from slowfast_tpu.data import decoder
+from slowfast_tpu.native import video as native_video
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    """A 90-frame 30fps mp4 whose frames are uniquely identifiable."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (64, 48))
+    assert wr.isOpened()
+    frames = []
+    for i in range(90):
+        # Constant-value frames survive lossy encoding recognizably.
+        f = np.full((48, 64, 3), (i * 7) % 251, np.uint8)
+        frames.append(f)
+        wr.write(f)
+    wr.release()
+
+    # Sequential full decode = ground truth (no seeking involved).
+    cap = cv2.VideoCapture(path)
+    gt = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        gt.append(f[:, :, ::-1])
+    cap.release()
+    return path, np.stack(gt)
+
+
+def _native_available():
+    return native_video.get_lib() is not None
+
+
+def test_native_window_matches_sequential_ground_truth(test_video):
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, gt = test_video
+    data, idx, fps, nb = native_video.decode_windows(path, [(20.0, 40.0)])
+    assert fps == pytest.approx(30.0, abs=0.5)
+    assert nb == len(gt)
+    assert idx[0] == 20 and idx[-1] == 40
+    # Seek-accuracy: every decoded frame is bit-wise the sequential frame.
+    for k, i in enumerate(idx):
+        assert np.array_equal(data[k], gt[i]), f"frame {i} mismatch"
+
+
+def test_native_multi_window_single_pass(test_video):
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, gt = test_video
+    data, idx, _, _ = native_video.decode_windows(
+        path, [(5.0, 12.0), (60.0, 70.0)]
+    )
+    expected = list(range(5, 13)) + list(range(60, 71))
+    assert list(idx) == expected
+    for k, i in enumerate(idx):
+        assert np.array_equal(data[k], gt[i])
+
+
+def test_native_in_memory_decode(test_video):
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, gt = test_video
+    with open(path, "rb") as f:
+        video_bytes = f.read()
+    data, idx, _, _ = native_video.decode_windows(video_bytes, [(0.0, 9.0)])
+    assert list(idx) == list(range(10))
+    assert np.array_equal(data[0], gt[0])
+    probed = native_video.probe(video_bytes)
+    assert probed is not None and probed[1] == len(gt)
+
+
+def test_native_short_side_resize(test_video):
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, _ = test_video
+    data, _, _, _ = native_video.decode_windows(path, [(0.0, 4.0)], short_side=24)
+    assert data.shape[1] == 24  # h was the short side (48x64 -> 24x32)
+    assert data.shape[2] == 32
+
+
+def test_decode_reference_temporal_sampling(test_video):
+    """decode() reproduces reference clip placement + linspace sampling."""
+    path, gt = test_video
+    num_frames, sampling_rate, target_fps = 8, 2, 30
+    # Deterministic center clip: clip_idx=0 of num_clips=1, use_offset.
+    result = decoder.decode(
+        path, sampling_rate, num_frames,
+        clip_idx=0, num_clips=1, target_fps=target_fps, use_offset=True,
+    )
+    assert result is not None
+    frames, fps, _ = result
+    assert frames.shape == (num_frames, 48, 64, 3)
+
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    delta = max(len(gt) - clip_size, 0)
+    start = math.floor(delta / 2)
+    targets = np.linspace(start, start + clip_size - 1, num_frames)
+    for k, t in enumerate(targets):
+        i = int(np.floor(t))
+        # native maps to nearest kept frame at floor(target)
+        assert np.array_equal(frames[k], gt[i]) or np.array_equal(
+            frames[k], gt[min(i + 1, len(gt) - 1)]
+        )
+
+
+def test_decode_native_multi_view(test_video):
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, _ = test_video
+    result = decoder.decode_native(
+        path, 2, 8, clip_idx=-1, num_clips=1, n_views=3
+    )
+    assert result is not None
+    clips, _, _ = result
+    assert len(clips) == 3
+    for c in clips:
+        assert c.shape == (8, 48, 64, 3)
+
+
+def test_decode_cv2_fallback(test_video, monkeypatch):
+    """decode() still works when the native backend is unavailable."""
+    path, _ = test_video
+    monkeypatch.setattr(decoder, "decode_native", lambda *a, **k: None)
+    result = decoder.decode(path, 2, 8, clip_idx=0, num_clips=1)
+    assert result is not None
+    assert result[0].shape == (8, 48, 64, 3)

@@ -96,9 +96,69 @@ def benchmark_jpeg_decode(num_frames=64, size=(360, 640), reps=5):
     )
 
 
+def benchmark_video_decode(n_frames=300, size=(224, 320), reps=10):
+    """Native FFmpeg windowed decode vs the cv2 frame-seek fallback on the
+    Kinetics-style selective-decode pattern (random 64-frame window from a
+    10s clip). Prints both rates + the multi-view single-pass rate."""
+    import json
+    import tempfile
+
+    import cv2
+
+    from slowfast_tpu.data import decoder
+    from slowfast_tpu.native import video as native_video
+
+    rs = np.random.RandomState(0)
+    path = os.path.join(tempfile.mkdtemp(), "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, size[::-1])
+    frame = (rs.rand(*size, 3) * 255).astype(np.uint8)
+    for i in range(n_frames):
+        frame = np.roll(frame, 5, axis=1)
+        wr.write(frame)
+    wr.release()
+
+    assert native_video.get_lib() is not None, "native decoder unavailable"
+    decode_args = dict(clip_idx=-1, num_clips=1, target_fps=30)
+
+    decoder.decode_native(path, 2, 32, **decode_args)  # warm
+    t0 = time.time()
+    for _ in range(reps):
+        decoder.decode_native(path, 2, 32, **decode_args)
+    t_native = (time.time() - t0) / reps
+
+    t0 = time.time()
+    for _ in range(reps):
+        decoder.decode_native(path, 2, 32, n_views=2, **decode_args)
+    t_native_2view = (time.time() - t0) / reps
+
+    import unittest.mock as mock
+
+    with mock.patch.object(decoder, "decode_native", lambda *a, **k: None):
+        decoder.decode(path, 2, 32, **decode_args)
+        t0 = time.time()
+        for _ in range(reps):
+            decoder.decode(path, 2, 32, **decode_args)
+        t_cv2 = (time.time() - t0) / reps
+
+    print(
+        json.dumps(
+            {
+                "_type": "benchmark_video_decode",
+                "native_ms": round(t_native * 1000, 1),
+                "native_2view_single_pass_ms": round(t_native_2view * 1000, 1),
+                "cv2_ms": round(t_cv2 * 1000, 1),
+                "speedup": round(t_cv2 / t_native, 2),
+            }
+        )
+    )
+
+
 def main():
     if "--jpeg" in sys.argv:
         benchmark_jpeg_decode()
+        return
+    if "--video-decode" in sys.argv:
+        benchmark_video_decode()
         return
     args = parse_args()
     for path_to_config in args.cfg_files or [None]:
