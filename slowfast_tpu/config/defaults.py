@@ -29,6 +29,10 @@ _C.CONTRASTIVE = CfgNode(
         TYPE="mem",
         INTERP_MEMORY=False,
         MEM_TYPE="1d",
+        # TPU addition: time slots of the 2d memory bank (the reference
+        # hardcodes duration=1 at contrastive.py:67 and only reaches >1
+        # via Memory.resize; here it is a config knob).
+        DURATION=1,
         NUM_CLASSES_DOWNSTREAM=400,
         NUM_MLP_LAYERS=1,
         MLP_DIM=2048,

@@ -214,18 +214,34 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                 return loss, (stats2, (q1, q2))
 
         elif ssl_type == "mem":
+            # Sampled-NCE InstDisc against the (optionally time-indexed)
+            # memory bank (reference contrastive.py:362-421): K random
+            # negatives + the clip's own row as the positive, CE target 0.
+            nce_k = min(cfg.CONTRASTIVE.QUEUE_LEN, cfg.CONTRASTIVE.LENGTH)
+            duration = (
+                max(cfg.CONTRASTIVE.DURATION, 1)
+                if cfg.CONTRASTIVE.MEM_TYPE == "2d"
+                else 1
+            )
+            interp = cfg.CONTRASTIVE.INTERP_MEMORY
+
             def loss_fn(params):
-                q, new_stats = encode(params, state.batch_stats, batch["inputs"], r1)
-                # Full-bank InstDisc: CE against own memory row. The
-                # reference samples NCE negatives from the bank
-                # (Memory1D); the full softmax is the exact (non-sampled)
-                # form of the same objective and is cheap on the MXU.
-                logits = (q @ ssl["memory"].T.astype(q.dtype)) / T
-                loss = -jnp.mean(
-                    jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[
-                        jnp.arange(q.shape[0]), index
-                    ]
+                from slowfast_tpu.models.contrastive import (
+                    nce_logits,
+                    nce_sample_indices,
                 )
+
+                q, new_stats = encode(params, state.batch_stats, batch["inputs"], r1)
+                clip_ind, time_ind = nce_sample_indices(
+                    jax.random.fold_in(r2, 3), index,
+                    cfg.CONTRASTIVE.LENGTH, nce_k,
+                    duration=duration, interp=interp,
+                )
+                logits = nce_logits(
+                    q, jax.lax.stop_gradient(ssl["memory"]),
+                    clip_ind, time_ind, T, interp=interp,
+                )
+                loss = contrastive_loss(logits)
                 return loss, (new_stats, q)
 
         else:
@@ -312,8 +328,13 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             )
             ssl["swav_filled"] = jnp.minimum(ssl["swav_filled"] + B, L)
         if ssl_type == "mem" and index is not None:
+            # Reference mem update (:419-421): q*mmt + old*(1-mmt), so the
+            # keep-old weight is 1-mmt (annealed); time-indexed write when
+            # the bank is 2d.
             ssl["memory"] = memory_update(
-                ssl["memory"], index, jax.lax.stop_gradient(q), 0.5
+                ssl["memory"], index, jax.lax.stop_gradient(q), 1.0 - mmt,
+                time=batch.get("time"),
+                interp=cfg.CONTRASTIVE.INTERP_MEMORY,
             )
         if "memory" in ssl and ssl_type != "mem" and index is not None:
             # kNN memory (reference knn_mem_update :126-134).
@@ -347,6 +368,10 @@ def knn_eval(cfg, model, state, train_labels, val_loader, k=200, sigma=0.07):
     import numpy as np
 
     memory = state.ssl_state.get("memory")
+    if memory is not None and memory.ndim == 3:
+        # 2d bank: probe against time slot 0 (the reference's knn_mem is a
+        # separate duration-1 bank, contrastive.py:84).
+        memory = memory[:, 0]
     if memory is None:
         return None
     train_labels = jnp.asarray(train_labels, jnp.int32)

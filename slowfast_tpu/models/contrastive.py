@@ -146,13 +146,18 @@ def init_ssl_state(cfg, params, rng, batch_stats=None):
         state["swav_filled"] = jnp.zeros((), jnp.int32)
     if t == "mem" or cfg.CONTRASTIVE.KNN_ON:
         stdv = 1.0 / jnp.sqrt(cfg.CONTRASTIVE.DIM / 3.0)
-        state["memory"] = (
-            jax.random.uniform(
-                jax.random.fold_in(rng, 7),
-                (cfg.CONTRASTIVE.LENGTH, cfg.CONTRASTIVE.DIM),
+        # MEM_TYPE "2d" adds a time axis (reference Memory :887-916, length
+        # x duration x dim); "1d" matches Memory1D. The kNN probe reads
+        # time slot 0 (reference knn_mem has duration 1, :84).
+        shape = (cfg.CONTRASTIVE.LENGTH, cfg.CONTRASTIVE.DIM)
+        if t == "mem" and cfg.CONTRASTIVE.MEM_TYPE == "2d":
+            shape = (
+                cfg.CONTRASTIVE.LENGTH,
+                max(cfg.CONTRASTIVE.DURATION, 1),
+                cfg.CONTRASTIVE.DIM,
             )
-            * 2.0
-            - 1.0
+        state["memory"] = (
+            jax.random.uniform(jax.random.fold_in(rng, 7), shape) * 2.0 - 1.0
         ) * stdv
     state["iter"] = jnp.zeros((), jnp.int32)
     return state
@@ -174,8 +179,90 @@ def dequeue_and_enqueue(queue, ptr, keys):
     return queue, ptr
 
 
-def memory_update(memory, indices, feats, momentum):
-    """Momentum update of the instance memory bank (reference Memory :887+)."""
-    old = memory[indices]
-    new = l2_normalize(old * momentum + feats.astype(memory.dtype) * (1 - momentum))
-    return memory.at[indices].set(new)
+def memory_update(memory, indices, feats, momentum, time=None, interp=False):
+    """Momentum update of the instance memory bank.
+
+    1-D bank (L, C): reference Memory1D.update (contrastive.py:1017-1031).
+    2-D bank (L, T, C): time-indexed row update, with optional bilinear
+    write splitting across the two neighbouring time slots (reference
+    Memory.update :939-984, including its inverse-weight convention).
+    ``momentum`` is the keep-old weight.
+    """
+    feats = feats.astype(memory.dtype)
+    if memory.ndim == 2:
+        old = memory[indices]
+        new = l2_normalize(old * momentum + feats * (1 - momentum))
+        return memory.at[indices].set(new)
+    duration = memory.shape[1]
+    if time is None:
+        time = jnp.zeros(indices.shape, jnp.float32)
+    t0 = jnp.clip(jnp.floor(time).astype(jnp.int32), 0, duration - 1)
+    if not interp:
+        old = memory[indices, t0]
+        new = l2_normalize(old * momentum + feats * (1 - momentum))
+        return memory.at[indices, t0].set(new)
+    t1 = jnp.clip(t0 + 1, 0, duration - 1)
+    # Reference weight convention (:949-960): w_t1 = 1 - (time - t0).
+    w_t1 = (1.0 - (time - t0.astype(time.dtype)))[:, None]
+    w_t0 = 1.0 - w_t1
+    old0 = memory[indices, t0]
+    old1 = memory[indices, t1]
+    new0 = l2_normalize(feats * w_t0 * (1 - momentum) + old0 * momentum)
+    new1 = l2_normalize(feats * w_t1 * (1 - momentum) + old1 * momentum)
+    memory = memory.at[indices, t0].set(new0)
+    return memory.at[indices, t1].set(new1)
+
+
+def nce_sample_indices(rng, batch_index, length, k, duration=1, interp=False):
+    """Draw the (B, K+1) NCE sample grid (reference contrastive.py:371-411).
+
+    Column 0 is the positive (each clip's own bank row); the remaining K
+    columns are uniform random rows. With a time-indexed 2-D bank, random
+    time positions are drawn per sample (examplar_type "video": different
+    clips of the same video are positives, so the positive's time index
+    stays 0-based random too — reference :402-406 with examplar_type fixed
+    at "video", :69).
+    """
+    b = batch_index.shape[0]
+    r_clip, r_time = jax.random.split(rng)
+    clip_ind = jax.random.randint(r_clip, (b, k + 1), 0, length)
+    clip_ind = clip_ind.at[:, 0].set(batch_index)
+    if duration > 1:
+        if interp:
+            time_ind = jax.random.uniform(
+                r_time, (b, k + 1), minval=0.0, maxval=float(duration - 1)
+            )
+        else:
+            time_ind = jax.random.randint(r_time, (b, k + 1), 0, duration - 1)
+    else:
+        time_ind = jnp.zeros((b, k + 1), jnp.int32)
+    return clip_ind, time_ind
+
+
+def nce_logits(q, memory, clip_ind, time_ind, temperature, interp=False):
+    """Sampled-NCE logits, MXU-first.
+
+    Instead of gathering a (B, K+1, C) negatives tensor (the reference's
+    Memory.get einsum path, :413-417 — HBM-hostile for K=65536), compute
+    the full (B, L*T) similarity as ONE matmul against the flattened bank
+    and gather the (B, K+1) sampled entries from it. Identical math,
+    matmul-shaped for the MXU, no large intermediate.
+    """
+    if memory.ndim == 2:
+        flat = memory
+        flat_idx = clip_ind
+    else:
+        duration = memory.shape[1]
+        flat = memory.reshape(-1, memory.shape[-1])
+        if interp:
+            t0 = jnp.clip(jnp.floor(time_ind).astype(jnp.int32), 0, duration - 1)
+            t1 = jnp.clip(t0 + 1, 0, duration - 1)
+            all_sim = q @ flat.T.astype(q.dtype)
+            s0 = jnp.take_along_axis(all_sim, clip_ind * duration + t0, axis=1)
+            s1 = jnp.take_along_axis(all_sim, clip_ind * duration + t1, axis=1)
+            # Reference interp weights (:928-934): w_t1 = 1 - (time - t0).
+            w_t1 = 1.0 - (time_ind - t0.astype(time_ind.dtype))
+            return (s0 * (1.0 - w_t1) + s1 * w_t1) / temperature
+        flat_idx = clip_ind * duration + time_ind.astype(jnp.int32)
+    all_sim = q @ flat.T.astype(q.dtype)
+    return jnp.take_along_axis(all_sim, flat_idx, axis=1) / temperature

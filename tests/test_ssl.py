@@ -216,3 +216,66 @@ def test_temporal_difference_and_blur():
     out, applied = augment_raw_frames(clip, time_diff_prob=1.0)
     assert applied
     assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_mem_2d_memory_and_interp():
+    """Time-indexed 2d bank: NCE runs, and the update writes the indexed
+    time slots (reference Memory :887-984)."""
+    cfg = _ssl_cfg("mem")
+    cfg.CONTRASTIVE.MEM_TYPE = "2d"
+    cfg.CONTRASTIVE.DURATION = 4
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    assert state.ssl_state["memory"].shape == (50, 4, 32)
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10)
+    batch = _batch(cfg)
+    batch["time"] = jnp.zeros((4,), jnp.float32)
+    before = np.asarray(state.ssl_state["memory"])
+    state2, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(state2.ssl_state["memory"])
+    # Rows 0..3 at time slot 0 were updated; slots 1..3 untouched.
+    assert not np.allclose(before[:4, 0], after[:4, 0])
+    np.testing.assert_array_equal(before[:4, 1:], after[:4, 1:])
+    np.testing.assert_array_equal(before[4:], after[4:])
+
+
+def test_nce_sampled_logits_match_direct_gather():
+    """The MXU-first full-matmul+gather NCE equals the direct (B,K+1,C)
+    gather einsum (reference contrastive.py:413-417)."""
+    from slowfast_tpu.models.contrastive import nce_logits, nce_sample_indices
+
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (4, 16))
+    memory = jax.random.normal(jax.random.fold_in(rng, 1), (30, 16))
+    clip_ind, time_ind = nce_sample_indices(
+        jax.random.fold_in(rng, 2), jnp.arange(4), 30, 8
+    )
+    assert clip_ind.shape == (4, 9)
+    np.testing.assert_array_equal(np.asarray(clip_ind[:, 0]), np.arange(4))
+    got = nce_logits(q, memory, clip_ind, time_ind, 0.07)
+    ref = jnp.einsum("nc,nkc->nk", q, memory[clip_ind]) / 0.07
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+    # 2d bank with interp: logits are the time-interpolated similarity.
+    mem2d = jax.random.normal(jax.random.fold_in(rng, 3), (30, 4, 16))
+    clip_ind, t_cont = nce_sample_indices(
+        jax.random.fold_in(rng, 4), jnp.arange(4), 30, 8, duration=4,
+        interp=True,
+    )
+    got = nce_logits(q, mem2d, clip_ind, t_cont, 0.07, interp=True)
+    t0 = jnp.clip(jnp.floor(t_cont).astype(jnp.int32), 0, 3)
+    t1 = jnp.clip(t0 + 1, 0, 3)
+    w_t1 = 1.0 - (t_cont - t0)
+    k = mem2d[clip_ind, t0] * (1.0 - w_t1)[..., None] + mem2d[
+        clip_ind, t1
+    ] * w_t1[..., None]
+    ref = jnp.einsum("nc,nkc->nk", q, k) / 0.07
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4)
