@@ -590,6 +590,10 @@ _C.TPU = CfgNode(
         PREFETCH=2,
         # Donate input buffers to the train step (saves HBM).
         DONATE=True,
+        # Pallas pooled-attention kernel for MViT (ops/pallas_attention.py):
+        # True = on when running on the TPU backend; "force" = also on CPU
+        # (interpret mode, tests only); False = XLA einsum path.
+        PALLAS_ATTENTION=True,
         # Use jax.checkpoint (remat) on heavy stages when ACT_CHECKPOINT.
         REMAT_POLICY="nothing_saveable",
         # Debug: return early after this stage name (e.g. "s2"); "" = off.

@@ -189,6 +189,7 @@ class MultiScaleAttention(nn.Module):
     rel_pos_zero_init: bool = False
     residual_pooling: bool = False
     separate_qkv: bool = False
+    use_pallas_attention: bool = False
     dtype: Any = None
 
     def _pool_param(self, kernel, dim_conv, name):
@@ -318,24 +319,28 @@ class MultiScaleAttention(nn.Module):
             # logits + bias, with matmul-only backward (no (Nq x Nk) bias
             # materialization or broadcast-reduce VJPs; those cost ~45% of
             # an MViTv2-S step on v5e).
-            q_aug, k_aug = _augment_qk_relpos(
+            q_in, k_in = _augment_qk_relpos(
                 qh, kh, scale, self.has_cls_embed, q_shape, k_shape,
                 rel_pos_h, rel_pos_w, rel_pos_t,
             )
-            attn = jnp.einsum(
-                "bqnc,bknc->bnqk", q_aug, k_aug,
-                preferred_element_type=jnp.float32,
-            )
+        else:
+            q_in, k_in = qh * scale, kh
+        if self.use_pallas_attention:
+            # Pallas pooled-attention kernel: the (Nq, Nk) logits matrix
+            # never touches HBM (ops/pallas_attention.py).
+            from slowfast_tpu.ops.pallas_attention import pooled_attention
+
+            xo = pooled_attention(q_in, k_in, vh).astype(v.dtype)
         else:
             attn = jnp.einsum(
-                "bqnc,bknc->bnqk", qh * scale, kh,
+                "bqnc,bknc->bnqk", q_in, k_in,
                 preferred_element_type=jnp.float32,
             )
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-
-        xo = jnp.einsum(
-            "bnqk,bknc->bqnc", attn, vh, preferred_element_type=jnp.float32
-        ).astype(v.dtype)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            xo = jnp.einsum(
+                "bnqk,bknc->bqnc", attn, vh,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
         if self.residual_pooling:
             # MViTv2 residual pooling (reference :381-385): skip cls token.
             if self.has_cls_embed:
@@ -394,6 +399,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool = False
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
+    use_pallas_attention: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -419,6 +425,7 @@ class MultiScaleBlock(nn.Module):
             rel_pos_zero_init=self.rel_pos_zero_init,
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

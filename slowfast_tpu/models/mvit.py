@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slowfast_tpu.ops.pallas_attention import use_pallas
 from .attention import MultiScaleBlock, bias02, trunc02
 from .heads import ResNetRoIHead, TransformerBasicHead
 from .stem import PatchEmbed
@@ -290,6 +291,7 @@ class MViT(nn.Module):
                 residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
                 dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
+                use_pallas_attention=use_pallas(cfg),
                 dtype=dtype,
                 name=f"blocks_{i}",
             )(x, tuple(thw), not train)

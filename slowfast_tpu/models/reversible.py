@@ -20,6 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from .attention import MultiScaleAttention, bias02, trunc02
+from slowfast_tpu.ops.pallas_attention import use_pallas
 from .common import Mlp, TwoStreamFusion, drop_path
 
 
@@ -80,6 +81,7 @@ class AttentionSubBlock(nn.Module):
             rel_pos_zero_init=cfg.MVIT.REL_POS_ZERO_INIT,
             residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
             separate_qkv=cfg.MVIT.SEPARATE_QKV,
+            use_pallas_attention=use_pallas(cfg),
             dtype=self.dtype,
             name="attn",
         )

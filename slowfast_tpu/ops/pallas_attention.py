@@ -147,19 +147,22 @@ def _attention_bwd(nh, nk_real, bq, interpret, res, do):
     dq_d, dv_d = DQ // nh, DV // nh
     grid = (B, nh, Nq // bq)
     q_spec, k_spec, v_spec, o_spec = _specs(bq, dq_d, dv_d, Nk, nh)
+    # dk/dv accumulate across all q tiles: keep them fp32 in the kernel
+    # regardless of the compute dtype (bf16 accumulation over ~50 tiles
+    # loses bits) and cast back at the boundary.
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, nk_real=nk_real),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec, o_spec],
         out_specs=[q_spec, k_spec, v_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, do)
-    return dq, dk, dv
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -195,3 +198,13 @@ def pooled_attention(qh, kh, vh, block_q=512, interpret=None):
     out = _attention(q, k, v, nh, Nk, bq, interpret)
     out = out.reshape(B, nq_p, nh, dv_p)[:, :Nq, :, :dv]
     return out
+
+
+def use_pallas(cfg):
+    """Config gate: Pallas attention on the TPU backend (interpret mode on
+    CPU is orders of magnitude slower than the einsum path, so tests and
+    CPU runs keep XLA unless the flag is forced)."""
+    mode = cfg.TPU.PALLAS_ATTENTION
+    if mode == "force":
+        return True
+    return bool(mode) and jax.default_backend() == "tpu"

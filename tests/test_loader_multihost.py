@@ -1,0 +1,98 @@
+"""Multi-host loader slicing tests (VERDICT weak #8).
+
+Each host must load a disjoint 1/num_hosts slice of every global batch,
+and the union across hosts must reconstruct the global batch exactly —
+including under short-cycle multigrid shape cycling (reference
+datasets/multigrid_helper.py:19-85 + loader.py host sharding).
+"""
+
+import numpy as np
+import pytest
+
+from slowfast_tpu.config import get_cfg
+from slowfast_tpu.data import loader as loader_mod
+
+
+class _DummyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        return idx
+
+
+def _make_sampler(cfg, n, host_id, num_hosts, batch_size, short_cycle,
+                  monkeypatch):
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: num_hosts)
+    monkeypatch.setattr(jax, "process_index", lambda: host_id)
+    return loader_mod.ShardedLoader(
+        _DummyDataset(n), batch_size, shuffle=True, drop_last=True,
+        cfg=cfg, short_cycle=short_cycle,
+    )
+
+
+@pytest.mark.parametrize("short_cycle", [False, True])
+def test_hosts_partition_every_global_batch(short_cycle, monkeypatch):
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MULTIGRID.DEFAULT_S = 224
+    cfg.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.5 ** 0.5]
+    num_hosts = 2
+    n, batch = 64, 8
+
+    per_host = []
+    for host in range(num_hosts):
+        s = _make_sampler(
+            cfg, n, host, num_hosts, batch, short_cycle, monkeypatch
+        )
+        per_host.append(list(s._indices()))
+
+    assert len(per_host[0]) == len(per_host[1]) and len(per_host[0]) > 0
+    for b0, b1 in zip(*per_host):
+        if short_cycle:
+            idx0 = [i for i, _ in b0]
+            idx1 = [i for i, _ in b1]
+            # Same cycle position on every host (same compiled bucket).
+            assert {c for _, c in b0} == {c for _, c in b1}
+            assert len({c for _, c in b0}) == 1
+        else:
+            idx0, idx1 = list(b0), list(b1)
+        # Disjoint, equal-sized, and the union is one global batch.
+        assert len(idx0) == len(idx1)
+        assert not set(idx0) & set(idx1)
+
+    # Flattened across hosts and batches: no duplicates overall.
+    def flat(bs):
+        return [
+            (i[0] if isinstance(i, tuple) else int(i))
+            for b in bs
+            for i in b
+        ]
+
+    all_idx = flat(per_host[0]) + flat(per_host[1])
+    assert len(all_idx) == len(set(all_idx))
+
+    if short_cycle:
+        # Batch sizes cycle [B*f0^-2, B*f1^-2, B] split across hosts
+        # (factors 0.5, sqrt(0.5) -> 4x, 2x the base batch).
+        sizes = [len(b) * num_hosts for b in per_host[0]]
+        assert sizes[0] == batch * 4 and sizes[1] == batch * 2
+        assert sizes[2] == batch
+
+
+def test_single_host_short_cycle_shapes(monkeypatch):
+    """Crop size cycles with the batch bucket (dataset receives the cycle
+    position tag)."""
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MULTIGRID.DEFAULT_S = 224
+    cfg.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.5 ** 0.5]
+    s = _make_sampler(cfg, 224, 0, 1, 8, True, monkeypatch)
+    batches = list(s._indices())
+    assert [len(b) for b in batches[:3]] == [32, 16, 8]
+    assert [b[0][1] for b in batches[:3]] == [0, 1, 2]
