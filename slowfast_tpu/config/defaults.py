@@ -593,7 +593,10 @@ _C.TPU = CfgNode(
         # Pallas pooled-attention kernel for MViT (ops/pallas_attention.py):
         # True = on when running on the TPU backend; "force" = also on CPU
         # (interpret mode, tests only); False = XLA einsum path.
-        PALLAS_ATTENTION=True,
+        # Default OFF: measured 45.6 vs 51.9 clips/s on MViTv2-S/v5e — the
+        # pooled-K attention is only ~5% of step HBM traffic, and the
+        # kernel's recompute + dq-padding overheads outweigh the saving.
+        PALLAS_ATTENTION=False,
         # Use jax.checkpoint (remat) on heavy stages when ACT_CHECKPOINT.
         REMAT_POLICY="nothing_saveable",
         # Debug: return early after this stage name (e.g. "s2"); "" = off.

@@ -188,7 +188,12 @@ def pooled_attention(qh, kh, vh, block_q=512, interpret=None):
     dq_p = dq + (-dq) % LANES
     dv_p = dv + (-dv) % LANES
     nk_p = Nk + (-Nk) % LANES
-    bq = min(block_q, Nq + (-Nq) % LANES)
+    # Scoped VMEM is ~16MB: the backward tile holds several (bq, nk_p)
+    # fp32 intermediates plus K/V blocks, so shrink the q tile as the
+    # pooled-K length grows (bq * nk_p fp32 <= ~2MB per intermediate).
+    fit = ((2 << 20) // (4 * nk_p)) // LANES * LANES
+    bq = max(LANES, min(block_q, fit))
+    bq = min(bq, Nq + (-Nq) % LANES)
     nq_p = Nq + (-Nq) % bq
 
     q = _pad_to(_pad_to(qh, 3, LANES), 1, bq).reshape(B, nq_p, nh * dq_p)
