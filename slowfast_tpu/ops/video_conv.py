@@ -86,6 +86,7 @@ import os as _os
 # the rank-5<->rank-4 roundtrip around EVERY spatial conv materialized
 # layout copies (~10 ms/step across the net).
 _SPATIAL_IMPL = _os.environ.get("SF_SPATIAL_CONV", "ndhwc")
+_DEPTHWISE_IMPL = _os.environ.get("SF_DEPTHWISE_CONV", "ndhwc")
 
 
 def spatial_conv(x, w, stride_hw, pad_hw, groups=1, dilation_hw=(1, 1)):
@@ -215,9 +216,22 @@ def video_conv(x, w, stride=(1, 1, 1), padding=(0, 0, 0), groups=1,
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
     C = x.shape[-1]
     if groups > 1:
-        # Depthwise/grouped (X3D): per-tap 2D grouped convs.
+        # Depthwise/grouped (X3D, MViT pool convs): per-tap 2D grouped
+        # convs, except fully-depthwise 3D kernels where ONE rank-5 NDHWC
+        # grouped conv wins — the VPU tap math is trivial (~27 mults/elem)
+        # and the per-tap (B*T,H,W,C) reshape copies dominate.
         if kt == 1:
             return spatial_conv(x, w, stride[1:], padding[1:], groups, dilation[1:])
+        if groups == C and _DEPTHWISE_IMPL == "ndhwc":
+            return jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=tuple(stride),
+                padding=[(p, p) for p in padding],
+                rhs_dilation=tuple(dilation),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=groups,
+            )
         return conv3d_taps(x, w, stride, padding, groups, dilation)
     if kt == 1:
         return spatial_conv(x, w, stride[1:], padding[1:], 1, dilation[1:])
