@@ -13,11 +13,12 @@ derived from the same measurement at matched achieved-FLOPs/s:
 90 clips/s x (3x27.7 GF SlowFast) / (3x64 GF MViTv2-S) ~= 39 clips/s.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-extra records the secondary benches: MViTv2-S 16x4 train clips/s and the
-end-to-end number with the real input pipeline (cv2 video decode + full
-augmentation + uint8 device-preprocess) in the loop. Env switches:
-BENCH_SKIP_MVIT=1 / BENCH_SKIP_E2E=1 skip the extras; BENCH_BATCH sets the
-headline batch size.
+extra records the secondary benches: MViTv2-S 16x4 train clips/s, X3D-M
+train clips/s, and the end-to-end number with the real input pipeline
+(native FFmpeg video decode + full augmentation + uint8 device-preprocess)
+in the loop. Env switches: BENCH_SKIP_MVIT=1 / BENCH_SKIP_X3D=1 /
+BENCH_SKIP_E2E=1 skip the extras; BENCH_BATCH sets the headline batch
+size.
 """
 
 import json
@@ -138,6 +139,31 @@ def bench_mvit():
     return sps * B
 
 
+def bench_x3d():
+    import jax
+
+    from slowfast_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs/Kinetics/X3D_M.yaml")
+    )
+    cfg.NUM_GPUS = 1
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    state, step, rng = _build(cfg)
+    B = int(os.environ.get("BENCH_X3D_BATCH", "16"))
+    batch = {
+        "inputs": _sf_inputs(cfg, B, random=True),
+        "labels": jax.random.randint(
+            jax.random.PRNGKey(2), (B,), 0, cfg.MODEL.NUM_CLASSES
+        ),
+    }
+    print("bench: x3d-m...", file=sys.stderr, flush=True)
+    sps = _time_steps(state, step, batch, rng)
+    return sps * B
+
+
 def bench_e2e_input_pipeline():
     """SlowFast train with the REAL input pipeline in the loop: synthetic
     .mp4 files -> cv2 decode -> full augmentation -> uint8 transfer ->
@@ -246,6 +272,15 @@ def main():
             )
         except Exception as e:  # never lose the headline number
             extra["mvitv2_s_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_X3D"):
+        try:
+            xr = bench_x3d()
+            # No A100 ratio: a FLOPs-matched estimate is meaningless for
+            # depthwise-dominated nets (bandwidth-bound on both chips);
+            # raw clips/s is the honest number.
+            extra["x3d_m_train_clips_per_sec"] = round(xr, 2)
+        except Exception as e:
+            extra["x3d_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_E2E"):
         try:
             e2e, loader_rate = bench_e2e_input_pipeline()
