@@ -166,7 +166,8 @@ def bench_x3d():
 
 def bench_e2e_input_pipeline():
     """SlowFast train with the REAL input pipeline in the loop: synthetic
-    .mp4 files -> cv2 decode -> full augmentation -> uint8 transfer ->
+    .mp4 files -> native FFmpeg decode-at-scale -> full augmentation ->
+    uint8 transfer ->
     on-device normalize/pathway-split -> train step.
 
     On few-core hosts the cv2 decode bound dominates (the reference hides
@@ -228,6 +229,19 @@ def bench_e2e_input_pipeline():
     # End-to-end: loader + device step overlapped via the prefetch queue.
     import jax.numpy as jnp
 
+    # Host->device bandwidth probe: on a tunneled chip the uint8 batch
+    # transfer (not decode, not compute) can dominate the e2e loop; this
+    # number makes the e2e rate attributable.
+    import numpy as _np
+
+    probe = _np.zeros((32 << 20,), _np.uint8)
+    x = jnp.asarray(probe)
+    float(x[0])  # warm + force
+    t0 = time.time()
+    x = jnp.asarray(probe)
+    float(x[-1])
+    h2d_mbps = 32.0 / max(time.time() - t0, 1e-9)
+
     print("bench: e2e loop...", file=sys.stderr, flush=True)
     seen = 0
     m = None
@@ -250,7 +264,7 @@ def bench_e2e_input_pipeline():
             break
     _sync(m)
     e2e_rate = seen / (time.time() - t0)
-    return e2e_rate, loader_rate
+    return e2e_rate, loader_rate, h2d_mbps
 
 
 def main():
@@ -283,11 +297,12 @@ def main():
             extra["x3d_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_E2E"):
         try:
-            e2e, loader_rate = bench_e2e_input_pipeline()
+            e2e, loader_rate, h2d = bench_e2e_input_pipeline()
             extra["slowfast_e2e_input_pipeline_clips_per_sec"] = round(e2e, 2)
             extra["input_pipeline_loader_only_clips_per_sec"] = round(
                 loader_rate, 2
             )
+            extra["host_to_device_MBps"] = round(h2d, 1)
             extra["host_cpus"] = os.cpu_count()
         except Exception as e:
             extra["e2e_error"] = repr(e)[:200]
