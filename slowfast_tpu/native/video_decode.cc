@@ -184,7 +184,6 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frm = av_frame_alloc();
-  AVFrame* rgb = av_frame_alloc();
   SwsContext* sws = nullptr;
   int out_w = -1, out_h = -1, sws_in_w = -1, sws_in_h = -1;
   int sws_in_fmt = -1;
@@ -297,7 +296,6 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
   }
 
   if (sws) sws_freeContext(sws);
-  av_frame_free(&rgb);
   av_frame_free(&frm);
   av_packet_free(&pkt);
   avcodec_free_context(&cc);

@@ -1,0 +1,76 @@
+"""Kinetics host path on real .mp4 files: native decode -> decode-at-scale
+-> augment -> uint8 clip output (reference kinetics.py:369-452 contract).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from slowfast_tpu.config import get_cfg
+from slowfast_tpu.config.defaults import assert_and_infer_cfg
+
+
+@pytest.fixture(scope="module")
+def kinetics_dir(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path_factory.mktemp("k400")
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(3):
+        path = str(d / f"v{i}.mp4")
+        wr = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (160, 120)
+        )
+        frame = (rs.rand(120, 160, 3) * 255).astype(np.uint8)
+        for _ in range(80):
+            frame = np.roll(frame, 3, axis=1)
+            wr.write(frame)
+        wr.release()
+        lines.append(f"{path} {i}\n")
+    for split in ("train", "val", "test"):
+        (d / f"{split}.csv").write_text("".join(lines))
+    return str(d)
+
+
+def _cfg(kinetics_dir, decode_at_scale):
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.DATA.PATH_TO_DATA_DIR = kinetics_dir
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TRAIN_JITTER_SCALES = [70, 100]
+    cfg.DATA.DECODE_AT_SCALE = decode_at_scale
+    cfg.NUM_GPUS = 1
+    return assert_and_infer_cfg(cfg)
+
+
+@pytest.mark.parametrize("decode_at_scale", [True, False])
+def test_train_clip_shape_and_dtype(kinetics_dir, decode_at_scale):
+    from slowfast_tpu.data.kinetics import Kinetics
+
+    cfg = _cfg(kinetics_dir, decode_at_scale)
+    ds = Kinetics(cfg, "train")
+    frames, label, index, times, meta = ds[0]
+    # uint8 pipeline: the host emits a single-element pathway list holding
+    # the cropped uint8 clip; normalize + pathway split happen on device.
+    assert isinstance(frames, list) and len(frames) == 1
+    assert frames[0].dtype == np.uint8
+    assert frames[0].shape == (8, 64, 64, 3)
+    assert label == 0
+
+
+def test_test_mode_multiview(kinetics_dir):
+    from slowfast_tpu.data.kinetics import Kinetics
+
+    cfg = _cfg(kinetics_dir, True)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    cfg.DATA.TEST_CROP_SIZE = 64
+    ds = Kinetics(cfg, "test")
+    assert len(ds) == 3 * 2 * 3
+    frames, label, index, times, meta = ds[4]
+    assert isinstance(frames, list) and len(frames) == 1
+    assert frames[0].shape == (8, 64, 64, 3)
+    assert frames[0].dtype == np.uint8
