@@ -125,3 +125,60 @@ def test_imagenet_dataset(tmp_path):
     frames = item[0]
     clip = frames[0] if isinstance(frames, list) else frames
     assert clip.shape[-3:] == (64, 64, 3) or clip.shape[-2:] == (64, 3)
+
+
+def test_ava_dataset(tmp_path):
+    """AVA frame lists + GT box csv -> keyframe clip with boxes
+    (reference ava_helper.py:14-105 + ava_dataset.py)."""
+    from slowfast_tpu.data.ava_dataset import Ava
+
+    cv2 = pytest.importorskip("cv2")
+    d = str(tmp_path)
+    video = "vid001"
+    os.makedirs(os.path.join(d, "frames", video), exist_ok=True)
+    rs = np.random.RandomState(1)
+    # Keyframe for sec=902 is frame (902-900)*30 = 60; cover its window.
+    rows = ["original_vido_id video_id frame_id path labels"]
+    for i in range(120):
+        rel = f"{video}/{video}_{i:06d}.jpg"
+        cv2.imwrite(
+            os.path.join(d, "frames", rel),
+            (rs.rand(112, 144, 3) * 255).astype(np.uint8),
+        )
+        rows.append(f'{video} 0 {i} {rel} ""')
+    os.makedirs(os.path.join(d, "lists"), exist_ok=True)
+    with open(os.path.join(d, "lists", "train.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    os.makedirs(os.path.join(d, "ann"), exist_ok=True)
+    with open(os.path.join(d, "ann", "ava_train_v2.2.csv"), "w") as f:
+        f.write(f"{video},902,0.1,0.1,0.6,0.7,5\n")
+        f.write(f"{video},902,0.1,0.1,0.6,0.7,9\n")   # same box, 2nd label
+        f.write(f"{video},902,0.3,0.2,0.9,0.9,12\n")
+
+    cfg = get_cfg()
+    cfg.DETECTION.ENABLE = True
+    cfg.TRAIN.DATASET = "ava"
+    cfg.AVA.FRAME_DIR = os.path.join(d, "frames")
+    cfg.AVA.FRAME_LIST_DIR = os.path.join(d, "lists")
+    cfg.AVA.ANNOTATION_DIR = os.path.join(d, "ann")
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TRAIN_JITTER_SCALES = [70, 90]
+    cfg.MODEL.ARCH = "c2d"
+    cfg.MODEL.NUM_CLASSES = 80
+    cfg.NUM_GPUS = 1
+    cfg = assert_and_infer_cfg(cfg)
+
+    ds = Ava(cfg, "train")
+    assert len(ds) == 1  # one keyframe with boxes
+    frames, labels, idx, times, extra = ds[0]
+    clip = frames[0] if isinstance(frames, list) else frames
+    assert clip.shape[0] == 4 and clip.shape[1] == 64
+    boxes = extra["boxes"]
+    assert boxes.shape[1] == 4 and boxes.shape[0] == 2  # unique boxes
+    # Multi-hot labels (AVA ids 1..80 map to index id-1, reference
+    # ava_dataset.py:400-408): first box carries classes 5 and 9.
+    labels = np.asarray(labels)
+    assert labels.shape == (2, 80)
+    assert labels[0, 4] == 1 and labels[0, 8] == 1 and labels[1, 11] == 1
