@@ -272,10 +272,8 @@ def add_heatmap(arr2d):
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
-
     arr = np.asarray(arr2d, np.float64)
     lo, hi = arr.min(), arr.max()
     arr = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
-    rgba = cm.get_cmap("viridis")(arr)
+    rgba = matplotlib.colormaps["viridis"](arr)
     return np.transpose(rgba[:, :, :3], (2, 0, 1)).astype(np.float32)

@@ -56,9 +56,7 @@ class VideoVisualizer:
             import matplotlib
 
             matplotlib.use("Agg")
-            import matplotlib.cm as cm
-
-            cmap = cm.get_cmap(colormap)
+            cmap = matplotlib.colormaps[colormap]
             self._colors = [
                 tuple(int(c * 255) for c in cmap(i / max(num_classes, 1))[:3])
                 for i in range(num_classes)
