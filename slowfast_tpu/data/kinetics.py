@@ -201,16 +201,14 @@ class Kinetics:
             n_s = max(cfg.DATA.TRAIN_CROP_NUM_SPATIAL, 1)
             if n_t * n_s < 2:
                 n_s = 2
-            # Extra temporal windows decoded in ONE packet sweep from an
-            # in-memory byte buffer (native multi-clip single-pass;
-            # reference decoder.py:228-370). Falls back to per-view decode.
+            # Extra temporal windows decoded in ONE packet sweep (native
+            # multi-clip single-pass; reference decoder.py:228-370).
+            # Falls back to per-view decode.
             extra_views = []
             if n_t > 1:
                 try:
-                    with open(self._path_to_videos[index], "rb") as f:
-                        video_bytes = f.read()
                     result = decoder.decode_native(
-                        video_bytes,
+                        self._path_to_videos[index],
                         sampling_rate,
                         cfg.DATA.NUM_FRAMES,
                         clip_idx=-1,
@@ -220,7 +218,9 @@ class Kinetics:
                         n_views=n_t - 1,
                     )
                     if result is not None:
-                        extra_views = list(result[0])
+                        got = result[0]
+                        # n_views==1 returns a bare (T,H,W,C) clip.
+                        extra_views = got if isinstance(got, list) else [got]
                 except Exception:
                     extra_views = []
             views = []

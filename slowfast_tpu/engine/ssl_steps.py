@@ -330,10 +330,16 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         if ssl_type == "mem" and index is not None:
             # Reference mem update (:419-421): q*mmt + old*(1-mmt), so the
             # keep-old weight is 1-mmt (annealed); time-indexed write when
-            # the bank is 2d.
+            # the bank is 2d. The clip's [0,1] temporal position scales to
+            # a slot index by duration-1 (reference :372 time *= duration-1).
+            mem_time = batch.get("time")
+            if mem_time is not None and ssl["memory"].ndim == 3:
+                mem_time = mem_time.astype(jnp.float32) * (
+                    ssl["memory"].shape[1] - 1
+                )
             ssl["memory"] = memory_update(
                 ssl["memory"], index, jax.lax.stop_gradient(q), 1.0 - mmt,
-                time=batch.get("time"),
+                time=mem_time,
                 interp=cfg.CONTRASTIVE.INTERP_MEMORY,
             )
         if "memory" in ssl and ssl_type != "mem" and index is not None:

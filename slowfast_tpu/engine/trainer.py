@@ -212,6 +212,11 @@ def train_ssl(cfg):
                 "inputs": [jnp.asarray(x) for x in v1],
                 "inputs2": [jnp.asarray(x) for x in v2],
                 "index": jnp.asarray(index),
+                # Clip temporal position, consumed by the time-indexed 2d
+                # memory bank (reference forward(..., time=...) :358).
+                "time": jnp.asarray(
+                    np.asarray(times, np.float32).reshape(len(index), -1)[:, 0]
+                ),
             }
             batch = mesh_lib.shard_batch(batch, mesh)
             state, m = step_fn(state, batch, rng)

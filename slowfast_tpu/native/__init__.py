@@ -18,12 +18,16 @@ _SO = os.path.join(_DIR, "libsfdecode.so")
 
 
 def _build():
+    # Temp + atomic rename: concurrent worker processes building the same
+    # output path would corrupt the .so (the lock is per-process only).
     src = os.path.join(_DIR, "decode.cc")
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-        "-o", _SO, "-ljpeg", "-lpthread",
+        "-o", tmp, "-ljpeg", "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def get_lib():

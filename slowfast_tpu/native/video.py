@@ -20,12 +20,17 @@ _SO = os.path.join(_DIR, "libsfvideo.so")
 
 
 def _build():
+    # Build to a per-pid temp path and atomically rename: concurrent
+    # DataLoader worker PROCESSES (the lock below is per-process only)
+    # would otherwise interleave writes into one .so and corrupt it.
     src = os.path.join(_DIR, "video_decode.cc")
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-        "-o", _SO, "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+        "-o", tmp, "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def get_lib():

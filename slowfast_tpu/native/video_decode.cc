@@ -196,6 +196,7 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
   size_t out_cap = 0, out_len = 0;
   std::vector<int64_t> idxs;
   bool done = false;
+  bool oom = false;
   size_t cur_win = 0;
   int64_t want_seek = -1;
   int64_t last_seek_target = min_f;
@@ -253,7 +254,7 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
       sws_in_fmt = f->format;
     }
     size_t frame_bytes = (size_t)out_w * out_h * 3;
-    if (out == nullptr) {
+    if (out == nullptr && !oom) {
       // Allocate the expected total up front; growth would copy.
       int64_t expect = 0;
       if (n_windows > 0)
@@ -262,11 +263,20 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
         expect = nb_frames > 0 ? nb_frames : 64;
       out_cap = (size_t)(expect + 8) * frame_bytes;
       out = static_cast<uint8_t*>(malloc(out_cap));
+      if (out == nullptr) { oom = true; done = true; return; }
       idxs.reserve(expect + 8);
     }
+    if (oom) { done = true; return; }
     if (out_len + frame_bytes > out_cap) {
       out_cap = (out_cap * 3) / 2 + frame_bytes;
-      out = static_cast<uint8_t*>(realloc(out, out_cap));
+      uint8_t* grown = static_cast<uint8_t*>(realloc(out, out_cap));
+      if (grown == nullptr) {
+        // keep `out` so cleanup frees it; surface a catchable error
+        oom = true;
+        done = true;
+        return;
+      }
+      out = grown;
     }
     uint8_t* dst[1] = {out + out_len};
     int dst_ls[1] = {out_w * 3};
@@ -305,20 +315,29 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
     avio_context_free(&avio);
   }
 
-  if (idxs.empty()) {
+  if (idxs.empty() || oom) {
     free(out);
-    *err = 2;
+    *err = oom ? 3 : 2;
     return nullptr;
   }
 
   SvdResult* r = static_cast<SvdResult*>(malloc(sizeof(SvdResult)));
+  int64_t* fidx_buf =
+      static_cast<int64_t*>(malloc(idxs.size() * sizeof(int64_t)));
+  if (r == nullptr || fidx_buf == nullptr) {
+    free(out);
+    free(r);
+    free(fidx_buf);
+    *err = 3;
+    return nullptr;
+  }
   r->n = (int)idxs.size();
   r->w = out_w;
   r->h = out_h;
   r->fps = fps;
   r->nb_frames = nb_frames > 0 ? nb_frames : (int64_t)idxs.size();
   r->data = out;  // ownership transferred; no copy
-  r->frame_idx = static_cast<int64_t*>(malloc(idxs.size() * sizeof(int64_t)));
+  r->frame_idx = fidx_buf;
   memcpy(r->frame_idx, idxs.data(), idxs.size() * sizeof(int64_t));
   return r;
 }

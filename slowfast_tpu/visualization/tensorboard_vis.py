@@ -16,23 +16,18 @@ from slowfast_tpu.utils import logging as logging_utils
 logger = logging_utils.get_logger(__name__)
 
 
-def _load_classes(path):
-    """Class-name json: {name: id} or [names] (reference utils.get_class_names)."""
+def _load_classes(path, num_classes):
+    """Class-name json: {name: id} or [names] — the shared parser in
+    video_visualizer (reference utils.get_class_names)."""
     if not path:
         return None
     try:
-        with open(path) as f:
-            mapping = json.load(f)
+        from .video_visualizer import _load_class_names
+
+        return _load_class_names(path, num_classes)
     except Exception as e:
         logger.warning("Failed to load class names %s: %s", path, e)
         return None
-    if isinstance(mapping, dict):
-        n = max(int(i) for i in mapping.values()) + 1
-        names = [str(i) for i in range(n)]
-        for name, idx in mapping.items():
-            names[int(idx)] = name
-        return names
-    return list(mapping)
 
 
 def _load_subset(path, class_names):
@@ -63,7 +58,9 @@ class TensorboardWriter:
         self.writer = SummaryWriter(log_dir=log_dir)
         # Class names / parent categories / plot subsets
         # (reference tensorboard_vis.py:31-85).
-        self.class_names = _load_classes(cfg.TENSORBOARD.CLASS_NAMES_PATH)
+        self.class_names = _load_classes(
+            cfg.TENSORBOARD.CLASS_NAMES_PATH, cfg.MODEL.NUM_CLASSES
+        )
         self.parent_map = None
         if cfg.TENSORBOARD.CATEGORIES_PATH:
             try:

@@ -74,3 +74,22 @@ def test_test_mode_multiview(kinetics_dir):
     assert isinstance(frames, list) and len(frames) == 1
     assert frames[0].shape == (8, 64, 64, 3)
     assert frames[0].dtype == np.uint8
+
+
+def test_ssl_two_view_native_single_pass(kinetics_dir):
+    """TRAIN_CROP_NUM_TEMPORAL=2 -> one extra native-decoded view; the
+    n_views==1 result is a bare clip, not a list of frames (regression:
+    list(result[0]) split it into single frames)."""
+    from slowfast_tpu.data.kinetics import Kinetics
+
+    cfg = _cfg(kinetics_dir, True)
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "c2d"
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2
+    cfg.DATA.TRAIN_CROP_NUM_SPATIAL = 1
+    ds = Kinetics(cfg, "train")
+    views, label, index, times, meta = ds[0]
+    assert len(views) == 2
+    for v in views:
+        clip = v[0] if isinstance(v, list) else v
+        assert clip.shape == (8, 64, 64, 3), clip.shape

@@ -24,17 +24,6 @@ from slowfast_tpu.config import get_cfg
 from slowfast_tpu.config.defaults import assert_and_infer_cfg
 
 
-def _flatten(d, prefix=""):
-    out = {}
-    for k, v in d.items():
-        key = f"{prefix}.{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = v
-    return out
-
-
 def normalize(src_path, header_note=""):
     """Return (yaml_text, cfg) for a reference-format recipe."""
     cfg = get_cfg()
