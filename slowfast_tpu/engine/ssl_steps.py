@@ -373,6 +373,8 @@ def knn_eval(cfg, model, state, train_labels, val_loader, k=200, sigma=0.07):
     """
     import numpy as np
 
+    # The neighbour count cannot exceed the bank length (tiny test banks).
+    k = min(k, cfg.CONTRASTIVE.LENGTH)
     memory = state.ssl_state.get("memory")
     if memory is not None and memory.ndim == 3:
         # 2d bank: probe against time slot 0 (the reference's knn_mem is a

@@ -93,3 +93,56 @@ def test_ssl_two_view_native_single_pass(kinetics_dir):
     for v in views:
         clip = v[0] if isinstance(v, list) else v
         assert clip.shape == (8, 64, 64, 3), clip.shape
+
+
+def test_train_ssl_e2e_on_videos(kinetics_dir, tmp_path):
+    """train_ssl end to end: two-view loader -> MoCo step -> checkpoint
+    (covers the SSL batch construction incl. the time key)."""
+    from slowfast_tpu.engine.trainer import train_ssl
+
+    # 8 virtual devices in the test mesh -> batch must divide 8; build a
+    # csv with enough rows (videos repeat) out of the shared fixture.
+    src_rows = (
+        open(os.path.join(kinetics_dir, "train.csv")).read().strip().split("\n")
+    )
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    with open(os.path.join(data_dir, "train.csv"), "w") as f:
+        f.write("\n".join(src_rows * 3) + "\n")
+    for split in ("val", "test"):
+        os.symlink(
+            os.path.join(data_dir, "train.csv"),
+            os.path.join(data_dir, f"{split}.csv"),
+        )
+
+    cfg = _cfg(kinetics_dir, True)
+    cfg.DATA.PATH_TO_DATA_DIR = data_dir
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "c2d"
+    cfg.MODEL.LOSS_FUNC = "contrastive_loss"
+    cfg.MODEL.NUM_CLASSES = 16
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1], [1], [1], [1]]
+    cfg.CONTRASTIVE.TYPE = "mem"
+    cfg.CONTRASTIVE.MEM_TYPE = "2d"
+    cfg.CONTRASTIVE.DURATION = 2
+    cfg.CONTRASTIVE.DIM = 16
+    cfg.CONTRASTIVE.LENGTH = 8
+    cfg.CONTRASTIVE.QUEUE_LEN = 8
+    cfg.CONTRASTIVE.NUM_MLP_LAYERS = 1
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 44]
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    from slowfast_tpu.config.defaults import assert_and_infer_cfg as _aic
+
+    cfg = _aic(cfg)
+    train_ssl(cfg)
+    ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+    assert ckpts, "SSL training produced no checkpoint"
