@@ -42,6 +42,7 @@ def test_demo_annotates_video(tmp_path):
     cfg.DEMO.THREAD_ENABLE = False
     cfg.DEMO.NUM_VIS_INSTANCES = 1
     cfg.DEMO.BUFFER_SIZE = 0
+    cfg.OUTPUT_DIR = str(tmp_path)
     cfg = assert_and_infer_cfg(cfg)
 
     from slowfast_tpu.visualization.demo import demo
