@@ -146,3 +146,29 @@ def test_train_ssl_e2e_on_videos(kinetics_dir, tmp_path):
     train_ssl(cfg)
     ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
     assert ckpts, "SSL training produced no checkpoint"
+
+
+def test_decode_retry_on_corrupt_video(kinetics_dir, tmp_path):
+    """A corrupt video resolves via the retry-resample loop
+    (reference kinetics.py:369-452 retry semantics)."""
+    from slowfast_tpu.data.kinetics import Kinetics
+
+    data_dir = str(tmp_path / "corrupt")
+    os.makedirs(data_dir)
+    bad = os.path.join(data_dir, "bad.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"not a video at all")
+    good_rows = (
+        open(os.path.join(kinetics_dir, "train.csv")).read().strip().split("\n")
+    )
+    with open(os.path.join(data_dir, "train.csv"), "w") as f:
+        f.write(f"{bad} 0\n" + "\n".join(good_rows) + "\n")
+
+    cfg = _cfg(kinetics_dir, True)
+    cfg.DATA.PATH_TO_DATA_DIR = data_dir
+    ds = Kinetics(cfg, "train")
+    # Index 0 is the corrupt file; train mode resamples a random index
+    # after repeated failures instead of raising.
+    frames, label, index, times, meta = ds[0]
+    clip = frames[0] if isinstance(frames, list) else frames
+    assert clip.shape == (8, 64, 64, 3)
