@@ -333,7 +333,10 @@ _C.DATA = CfgNode(
         TEST_CROP_SIZE=256,
         TARGET_FPS=30,
         TRAIN_JITTER_FPS=0.0,
-        DECODING_BACKEND="cv2",
+        # "native" (first-party FFmpeg service; the reference names "pyav"
+        # and "torchvision" alias it) or "cv2" to force the fallback
+        # decoder (debug / A-B). Reference default: "pyav".
+        DECODING_BACKEND="native",
         DECODING_SHORT_SIZE=256,
         # TPU addition: fuse the train-time short-side scale jitter into
         # the native decoder's sws_scale (one image pass on the host).

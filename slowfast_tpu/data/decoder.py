@@ -19,6 +19,14 @@ import random
 
 import numpy as np
 
+from slowfast_tpu.utils import logging as logging_utils
+
+logger = logging_utils.get_logger(__name__)
+
+# First native-decode failure is logged once per process (the path retries
+# via cv2, so repeated per-clip warnings would flood the log).
+_native_error_logged = False
+
 
 def temporal_sampling(frames, start_idx, end_idx, num_samples):
     """Evenly sample num_samples frame indices in [start, end] and gather.
@@ -119,7 +127,10 @@ def decode_native(
     single-pass decode (decoder.py:228-370).
 
     Returns (list-of-(T,H,W,C)-uint8 if n_views>1 else single array, fps,
-    decode_all_video) or None.
+    decode_all_video, time_frac) or None; time_frac is the clip's
+    normalized [0, 1] start position (list per view when n_views > 1) —
+    the reference's returned time index (decoder.py:452-616), consumed by
+    the time-indexed SSL memory bank (contrastive.py:362-372).
     """
     from slowfast_tpu.native import video as native_video
 
@@ -132,11 +143,13 @@ def decode_native(
 
     clip_size = sampling_rate * num_frames / target_fps * fps
     windows = []
+    fracs = []
     for _ in range(max(n_views, 1)):
-        s, e, _ = get_start_end_idx(
+        s, e, frac = get_start_end_idx(
             total, clip_size, clip_idx, num_clips, use_offset=use_offset
         )
         windows.append((s, e))
+        fracs.append(frac)
 
     view = native_video.decode_windows_view(
         source, windows, short_side=max_spatial_scale
@@ -157,8 +170,8 @@ def decode_native(
             pos = _sample_positions(frame_idx[win_pos], s, e, num_frames)
             clips.append(data[win_pos[pos]])
     if n_views <= 1:
-        return clips[0], fps, False
-    return clips, fps, False
+        return clips[0], fps, False, fracs[0]
+    return clips, fps, False, fracs
 
 
 def decode(
@@ -170,6 +183,7 @@ def decode(
     target_fps=30,
     max_spatial_scale=0,
     use_offset=False,
+    backend="native",
 ):
     """Decode a clip from a video file (reference decoder.py:452-616).
 
@@ -177,25 +191,38 @@ def decode(
     frames covering [start, end], with optional decode-time short-side
     resize (DATA.DECODING_SHORT_SIZE behavior).
 
-    Returns (frames uint8 (T,H,W,C), fps, decode_all_video) or None.
+    ``backend`` maps DATA.DECODING_BACKEND: "cv2" forces the cv2 path
+    (debug / A-B switch); anything else ("native", and the reference names
+    "pyav"/"torchvision" which alias the native FFmpeg service here) tries
+    native first with cv2 fallback.
+
+    Returns (frames uint8 (T,H,W,C), fps, decode_all_video, time_frac)
+    or None; time_frac is the clip's normalized [0, 1] start position.
     """
     import cv2
 
-    try:
-        result = decode_native(
-            path,
-            sampling_rate,
-            num_frames,
-            clip_idx=clip_idx,
-            num_clips=num_clips,
-            target_fps=target_fps,
-            max_spatial_scale=max_spatial_scale,
-            use_offset=use_offset,
-        )
-        if result is not None:
-            return result
-    except Exception:
-        pass
+    global _native_error_logged
+    if backend != "cv2":
+        try:
+            result = decode_native(
+                path,
+                sampling_rate,
+                num_frames,
+                clip_idx=clip_idx,
+                num_clips=num_clips,
+                target_fps=target_fps,
+                max_spatial_scale=max_spatial_scale,
+                use_offset=use_offset,
+            )
+            if result is not None:
+                return result
+        except Exception as e:
+            if not _native_error_logged:
+                _native_error_logged = True
+                logger.warning(
+                    "native decode failed (falling back to cv2; logged "
+                    "once per process): %r", e,
+                )
 
     cap, fps, total = get_video_fps_and_frames(path)
     if cap is None or total <= 0:
@@ -204,7 +231,7 @@ def decode(
         return None
 
     clip_size = sampling_rate * num_frames / target_fps * fps
-    start_idx, end_idx, _ = get_start_end_idx(
+    start_idx, end_idx, time_frac = get_start_end_idx(
         total, clip_size, clip_idx, num_clips, use_offset=use_offset
     )
     start_f = max(int(math.floor(start_idx)), 0)
@@ -236,4 +263,4 @@ def decode(
     # Frame indices relative to the decoded window.
     index = np.linspace(start_idx - start_f, end_idx - start_f, num_frames)
     index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
-    return frames[index], fps, False
+    return frames[index], fps, False, time_frac

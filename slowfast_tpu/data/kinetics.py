@@ -174,6 +174,7 @@ class Kinetics:
                     else decode_at_scale
                 ),
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                backend=cfg.DATA.DECODING_BACKEND,
             )
             if result is None:
                 logger.warning(
@@ -182,7 +183,7 @@ class Kinetics:
                 if self.mode not in ["test"] and i_try > self._num_retries // 2:
                     index = random.randint(0, len(self._path_to_videos) - 1)
                 continue
-            frames, fps, _ = result
+            frames, fps, _, time_frac = result
             break
         else:
             raise RuntimeError(
@@ -205,6 +206,7 @@ class Kinetics:
             # multi-clip single-pass; reference decoder.py:228-370).
             # Falls back to per-view decode.
             extra_views = []
+            extra_times = []
             if n_t > 1:
                 try:
                     result = decoder.decode_native(
@@ -218,17 +220,26 @@ class Kinetics:
                         n_views=n_t - 1,
                     )
                     if result is not None:
-                        got = result[0]
+                        got, got_t = result[0], result[3]
                         # n_views==1 returns a bare (T,H,W,C) clip.
                         extra_views = got if isinstance(got, list) else [got]
+                        extra_times = (
+                            got_t if isinstance(got_t, list) else [got_t]
+                        )
                 except Exception:
                     extra_views = []
+                    extra_times = []
             views = []
+            # Per-view normalized clip start time, consumed by the
+            # time-indexed 2d memory bank (reference decoder returns the
+            # clip's time indices, decoder.py:452-616; contrastive.py:362).
+            view_times = []
             for t in range(n_t):
                 if t == 0:
-                    t_frames = frames
+                    t_frames, t_time = frames, time_frac
                 elif t - 1 < len(extra_views):
                     t_frames = extra_views[t - 1]
+                    t_time = extra_times[t - 1]
                 else:
                     # Fresh random temporal window for each extra view.
                     result = decoder.decode(
@@ -239,29 +250,36 @@ class Kinetics:
                         num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
                         target_fps=cfg.DATA.TARGET_FPS,
                         use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                        backend=cfg.DATA.DECODING_BACKEND,
                     )
-                    t_frames = result[0] if result is not None else frames
-                for _ in range(n_s):
-                    v_frames = t_frames
-                    if cfg.DATA.TIME_DIFF_PROB > 0:
-                        # Raw-frame temporal-difference aug (reference
-                        # decoder.py:574-596 time_diff_prob).
-                        from .transform import augment_raw_frames
+                    if result is not None:
+                        t_frames, t_time = result[0], result[3]
+                    else:
+                        t_frames, t_time = frames, time_frac
+                if cfg.DATA.TIME_DIFF_PROB > 0:
+                    # Raw-frame temporal-difference aug, drawn ONCE per
+                    # decoded temporal view as in the reference
+                    # (decoder.py:574-596) — spatial crops of a view agree
+                    # on time-diff. Frames stay float (no re-quantization);
+                    # _process_clip handles float 0..255 input.
+                    from .transform import augment_raw_frames
 
-                        v_frames, _ = augment_raw_frames(
-                            t_frames, time_diff_prob=cfg.DATA.TIME_DIFF_PROB
-                        )
-                        v_frames = np.clip(v_frames, 0, 255).astype(np.uint8)
+                    t_frames, _ = augment_raw_frames(
+                        t_frames, time_diff_prob=cfg.DATA.TIME_DIFF_PROB
+                    )
+                for _ in range(n_s):
                     views.append(
                         self._process_clip(
-                            v_frames, spatial_sample_index, min_scale,
+                            t_frames, spatial_sample_index, min_scale,
                             max_scale, crop_size,
                         )
                     )
+                    view_times.append(t_time)
             label = self._labels[index]
-            return views, label, index, np.zeros((1,)), {}
+            return views, label, index, np.asarray(view_times, np.float32), {}
 
         label = self._labels[index]
+        time_out = np.asarray([time_frac], np.float32)
 
         # Repeated augmentation (reference kinetics.py:359-464 via
         # AUG.NUM_SAMPLE + multiple_samples_collate): the SAME decoded clip
@@ -283,7 +301,7 @@ class Kinetics:
                 )
                 l_out.append(label)
                 i_out.append(index)
-                t_out.append(np.zeros((1,)))
+                t_out.append(time_out)
                 m_out.append(
                     {"mask": self._gen_mask()} if cfg.AUG.GEN_MASK_LOADER else {}
                 )
@@ -298,8 +316,8 @@ class Kinetics:
         if cfg.AUG.GEN_MASK_LOADER:
             meta["mask"] = self._gen_mask()
         if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
-            self.dummy_output = (frames, label, index, np.zeros((1,)), meta)
-        return frames, label, index, np.zeros((1,)), meta
+            self.dummy_output = (frames, label, index, time_out, meta)
+        return frames, label, index, time_out, meta
 
     def _gen_mask(self):
         """MaskFeat mask generation (reference kinetics.py:470-504):
@@ -331,12 +349,17 @@ class Kinetics:
         self, frames, spatial_sample_index, min_scale, max_scale, crop_size
     ):
         cfg = self.cfg
+        # Float frames arrive in 0..255 units (the SSL raw-frame time-diff
+        # aug keeps floats to skip a re-quantization; the reference divides
+        # by 255 unconditionally after decode, kinetics.py:375-376).
+        frames = np.asarray(frames)
+        is_float255 = frames.dtype != np.uint8
         if self.mode == "train" and cfg.DATA.SSL_COLOR_JITTER:
             # SSL color recipe on [0,1] floats BEFORE RandAugment
             # (reference kinetics.py:375-387).
             from .transform import color_jitter_video_ssl
 
-            f = np.asarray(frames, np.float32) / 255.0
+            f = frames.astype(np.float32) / 255.0
             f = color_jitter_video_ssl(
                 f,
                 bri_con_sat=cfg.DATA.SSL_COLOR_BRI_CON_SAT,
@@ -346,8 +369,13 @@ class Kinetics:
                 gaussan_sigma_min=cfg.DATA.SSL_BLUR_SIGMA_MIN,
                 gaussan_sigma_max=cfg.DATA.SSL_BLUR_SIGMA_MAX,
             )
-            frames = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+            frames = np.clip(f, 0.0, 1.0) * 255.0
+            is_float255 = True
         if self.randaug is not None:
+            if is_float255:
+                # RandAugment operates on uint8 images.
+                frames = np.clip(frames, 0, 255).astype(np.uint8)
+                is_float255 = False
             frames = self.randaug(frames)
         # uint8 pipeline: spatial resampling happens in uint8 and the
         # normalize + pathway split run ON DEVICE inside the train step
@@ -359,8 +387,12 @@ class Kinetics:
             and cfg.MODEL.MODEL_NAME != "ContrastiveModel"
         )
         if not uint8_path:
+            # tensor_normalize scales uint8 by /255 itself; float frames
+            # are pre-scaled to [0,1] here (they carry 0..255 units).
             frames = data_utils.tensor_normalize(
-                frames, cfg.DATA.MEAN, cfg.DATA.STD
+                frames.astype(np.float32) / 255.0 if is_float255 else frames,
+                cfg.DATA.MEAN,
+                cfg.DATA.STD,
             )
         elif frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)

@@ -218,10 +218,35 @@ class ShardedLoader:
         stop = object()
 
         def produce():
+            # Per-sample work queue: samples are submitted to the pool
+            # individually across a window of upcoming batches, so decode
+            # parallelism is bounded by the worker count, not the batch
+            # size, and one slow video stalls only its own batch's collate
+            # while workers keep decoding subsequent batches (the
+            # DataLoader-worker semantics of reference loader.py:86-171).
+            from collections import deque
+
+            window = deque()  # per-batch future lists, oldest first
+            ahead = prefetch + 1
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
-                    for idx_batch in self._indices():
-                        samples = list(pool.map(self.dataset.__getitem__, idx_batch))
+                    it = self._indices()
+                    exhausted = False
+                    while True:
+                        while not exhausted and len(window) < ahead:
+                            idx_batch = next(it, None)
+                            if idx_batch is None:
+                                exhausted = True
+                                break
+                            window.append(
+                                [
+                                    pool.submit(self.dataset.__getitem__, i)
+                                    for i in idx_batch
+                                ]
+                            )
+                        if not window:
+                            break
+                        samples = [f.result() for f in window.popleft()]
                         q.put(self.collate(samples))
                 except Exception as e:  # surface worker errors to consumer
                     q.put(e)

@@ -347,6 +347,12 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             ssl["memory"] = memory_update(
                 ssl["memory"], index, jax.lax.stop_gradient(q), 1.0 - mmt
             )
+        if "knn_memory" in ssl and index is not None:
+            # Separate duration-1 kNN bank for 2d-memory runs, written on
+            # EVERY step regardless of clip time (reference knn_mem :84).
+            ssl["knn_memory"] = memory_update(
+                ssl["knn_memory"], index, jax.lax.stop_gradient(q), 1.0 - mmt
+            )
         ssl["iter"] = ssl["iter"] + 1
 
         new_state = SSLTrainState(
@@ -359,7 +365,23 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
 
     if mesh is not None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        # Mirror the supervised step's explicit shardings (steps.py:166-184):
+        # batch sharded over the data axis (a single sharding broadcasts over
+        # each pathway list), state/rng replicated. The trainer's SSL batch
+        # always carries exactly these four keys.
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        batch_shardings = {
+            "inputs": data,
+            "inputs2": data,
+            "index": data,
+            "time": data,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(None, batch_shardings, repl),
+            donate_argnums=(0,) if donate else (),
+        )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -375,10 +397,13 @@ def knn_eval(cfg, model, state, train_labels, val_loader, k=200, sigma=0.07):
 
     # The neighbour count cannot exceed the bank length (tiny test banks).
     k = min(k, cfg.CONTRASTIVE.LENGTH)
-    memory = state.ssl_state.get("memory")
+    # 2d-bank runs keep a separate duration-1 knn bank updated every step
+    # (reference knn_mem, contrastive.py:84); fall back to the main bank's
+    # slot 0 only for states created before it existed.
+    memory = state.ssl_state.get("knn_memory")
+    if memory is None:
+        memory = state.ssl_state.get("memory")
     if memory is not None and memory.ndim == 3:
-        # 2d bank: probe against time slot 0 (the reference's knn_mem is a
-        # separate duration-1 bank, contrastive.py:84).
         memory = memory[:, 0]
     if memory is None:
         return None

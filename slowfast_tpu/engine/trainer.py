@@ -62,6 +62,8 @@ def train_epoch(
     log_period = max(int(cfg.LOG_PERIOD), 1)
     pending = []  # (cur_iter, device_metrics, global_batch_size)
 
+    is_ava_meter = isinstance(meter, AVAMeter)
+
     def flush():
         for it, m, bs in pending:
             loss = float(m["loss"])
@@ -69,31 +71,46 @@ def train_epoch(
                 raise RuntimeError(
                     f"ERROR: Got NaN losses at epoch {cur_epoch} iter {it}"
                 )
-            top1 = float(m["top1_err"]) if "top1_err" in m else None
-            top5 = float(m["top5_err"]) if "top5_err" in m else None
-            meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
+            if is_ava_meter:
+                # Detection training logs through AVAMeter(mode=train) for
+                # json-stats parity (reference train_net.py:596-601).
+                meter.update_stats(None, None, None, loss, float(m["lr"]))
+            else:
+                top1 = float(m["top1_err"]) if "top1_err" in m else None
+                top5 = float(m["top5_err"]) if "top5_err" in m else None
+                meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
             meter.log_iter_stats(cur_epoch, it)
             if writer is not None:
                 scalars = {"Train/loss": loss, "Train/lr": float(m["lr"])}
-                if top1 is not None:
-                    scalars["Train/Top1_err"] = top1
-                    scalars["Train/Top5_err"] = top5
+                if not is_ava_meter and "top1_err" in m:
+                    scalars["Train/Top1_err"] = float(m["top1_err"])
+                    scalars["Train/Top5_err"] = float(m["top5_err"])
                 writer.add_scalars(
                     scalars, global_step=data_size * cur_epoch + it
                 )
         pending.clear()
 
-    meter.iter_tic()
-    for cur_iter, (inputs, labels, index, times, meta) in enumerate(train_loader):
+    # H2D/compute overlap: stage (device_put + shard) batch N+1 on a
+    # background thread while the step for batch N runs (the reference's
+    # pinned-memory non_blocking copies, train_net.py:79-98).
+    from slowfast_tpu.parallel.prefetch import DevicePrefetcher
+
+    def stage(args):
+        cur_iter, (inputs, labels, index, times, meta) = args
         batch = _to_batch(inputs, labels, meta)
         batch["epoch_exact"] = jnp.asarray(
             cur_epoch + cur_iter / data_size, jnp.float32
         )
         batch = mesh_lib.shard_batch(batch, mesh)
-        meter.data_toc()
+        return cur_iter, batch, labels.shape[0] * cfg.NUM_SHARDS
 
+    meter.iter_tic()
+    for cur_iter, batch, bs in DevicePrefetcher(
+        enumerate(train_loader), stage, depth=max(cfg.TPU.PREFETCH, 1)
+    ):
+        meter.data_toc()
         state, m = step_fn(state, batch, rng)
-        pending.append((cur_iter, m, labels.shape[0] * cfg.NUM_SHARDS))
+        pending.append((cur_iter, m, bs))
         meter.iter_toc()
         if (cur_iter + 1) % log_period == 0:
             flush()
@@ -178,9 +195,21 @@ def train_ssl(cfg):
     np.random.seed(cfg.RNG_SEED)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     mesh = mesh_lib.create_mesh(cfg)
-    model = build_model(cfg)
     train_loader = construct_loader(cfg, "train")
     steps_per_epoch = max(len(train_loader), 1)
+
+    # The instance memory banks are indexed by video id: LENGTH must equal
+    # the dataset size or bank reads gather out of bounds (the reference
+    # logs an error and resizes, contrastive.py:135-150 init_knn_labels).
+    num_videos = getattr(train_loader.dataset, "num_videos", 0)
+    if num_videos and cfg.CONTRASTIVE.LENGTH != num_videos:
+        logger.warning(
+            "CONTRASTIVE.LENGTH %d != dataset size %d; resizing memory banks",
+            cfg.CONTRASTIVE.LENGTH,
+            num_videos,
+        )
+        cfg.CONTRASTIVE.LENGTH = num_videos
+    model = build_model(cfg)
 
     from slowfast_tpu.models.build import dummy_inputs
 
@@ -204,9 +233,30 @@ def train_ssl(cfg):
     )
     train_meter = TrainMeter(steps_per_epoch, cfg)
 
+    log_period = max(int(cfg.LOG_PERIOD), 1)
+
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
-        for cur_iter, (views, labels, index, times, meta) in enumerate(train_loader):
+        # Async metric readback, same scheme as train_epoch: buffer device
+        # metric handles and materialize every LOG_PERIOD iterations so the
+        # host never blocks the device on a per-step scalar readback.
+        pending = []
+
+        def flush():
+            for it, m, bs in pending:
+                loss = float(m["loss"])
+                if math.isnan(loss):
+                    raise RuntimeError(
+                        f"ERROR: Got NaN losses at epoch {cur_epoch} iter {it}"
+                    )
+                train_meter.update_stats(None, None, loss, float(m["lr"]), bs)
+                train_meter.log_iter_stats(cur_epoch, it)
+            pending.clear()
+
+        from slowfast_tpu.parallel.prefetch import DevicePrefetcher
+
+        def stage(args):
+            cur_iter, (views, labels, index, times, meta) = args
             v1, v2 = views[0], views[1]
             batch = {
                 "inputs": [jnp.asarray(x) for x in v1],
@@ -218,13 +268,20 @@ def train_ssl(cfg):
                     np.asarray(times, np.float32).reshape(len(index), -1)[:, 0]
                 ),
             }
-            batch = mesh_lib.shard_batch(batch, mesh)
+            return cur_iter, mesh_lib.shard_batch(batch, mesh), len(index)
+
+        train_meter.iter_tic()
+        for cur_iter, batch, bs in DevicePrefetcher(
+            enumerate(train_loader), stage, depth=max(cfg.TPU.PREFETCH, 1)
+        ):
+            train_meter.data_toc()
             state, m = step_fn(state, batch, rng)
-            loss = float(m["loss"])
-            train_meter.update_stats(
-                None, None, loss, float(m["lr"]), len(index) * cfg.NUM_SHARDS
-            )
-            train_meter.log_iter_stats(cur_epoch, cur_iter)
+            pending.append((cur_iter, m, bs * cfg.NUM_SHARDS))
+            train_meter.iter_toc()
+            if (cur_iter + 1) % log_period == 0:
+                flush()
+            train_meter.iter_tic()
+        flush()
         train_meter.log_epoch_stats(cur_epoch)
         train_meter.reset()
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
@@ -291,7 +348,7 @@ def train(cfg):
     eval_fn = make_eval_step(cfg, model, mesh=mesh)
 
     if cfg.DETECTION.ENABLE:
-        train_meter = TrainMeter(steps_per_epoch, cfg)
+        train_meter = AVAMeter(steps_per_epoch, cfg, mode="train")
         val_meter = AVAMeter(len(val_loader), cfg, mode="val")
         if hasattr(val_loader.dataset, "_video_idx_to_name"):
             val_meter.set_video_idx_to_name(val_loader.dataset._video_idx_to_name)

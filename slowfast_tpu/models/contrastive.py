@@ -159,6 +159,19 @@ def init_ssl_state(cfg, params, rng, batch_stats=None):
         state["memory"] = (
             jax.random.uniform(jax.random.fold_in(rng, 7), shape) * 2.0 - 1.0
         ) * stdv
+        if cfg.CONTRASTIVE.KNN_ON and len(shape) == 3:
+            # The reference keeps a SEPARATE duration-1 knn_mem updated for
+            # every clip regardless of its time (contrastive.py:84,
+            # knn_mem_update :126-134); probing the 2d bank's slot 0 would
+            # go stale for clips whose time maps elsewhere.
+            state["knn_memory"] = (
+                jax.random.uniform(
+                    jax.random.fold_in(rng, 8),
+                    (cfg.CONTRASTIVE.LENGTH, cfg.CONTRASTIVE.DIM),
+                )
+                * 2.0
+                - 1.0
+            ) * stdv
     state["iter"] = jnp.zeros((), jnp.int32)
     return state
 

@@ -84,6 +84,18 @@ def read_csv(csv_file, class_whitelist=None, load_score=False):
     return boxes, labels, scores
 
 
+def get_ava_mini_groundtruth(full_groundtruth):
+    """Subsample the GT to keyframes with second % 4 == 0 — the reference's
+    faster val-during-training protocol (reference meters.py:28-43).
+    Final test evaluates against the full GT."""
+    ret = [defaultdict(list), defaultdict(list), defaultdict(list)]
+    for i in range(3):
+        for key in full_groundtruth[i].keys():
+            if int(key.split(",")[1]) % 4 == 0:
+                ret[i][key] = full_groundtruth[i][key]
+    return tuple(ret)
+
+
 # ---------------------------------------------------------------------------
 # Core PASCAL AP
 # ---------------------------------------------------------------------------

@@ -138,11 +138,21 @@ def load_native_checkpoint(path, state, load_opt=True):
         payload.get("ssl_state") is not None
         and getattr(state, "ssl_state", None) is not None
     ):
-        new_state = new_state.replace(
-            ssl_state=serialization.from_bytes(
-                state.ssl_state, payload["ssl_state"]
-            )
-        )
+        # Key-tolerant restore: load every bank/queue the checkpoint has,
+        # keep the template init for keys it predates (e.g. knn_memory was
+        # added after round-2 checkpoints were written).
+        raw = serialization.msgpack_restore(payload["ssl_state"])
+        ssl_state = dict(state.ssl_state)
+        for key, template in state.ssl_state.items():
+            if key in raw:
+                ssl_state[key] = serialization.from_state_dict(
+                    template, raw[key]
+                )
+            else:
+                logger.warning(
+                    "checkpoint ssl_state has no %r; keeping fresh init", key
+                )
+        new_state = new_state.replace(ssl_state=ssl_state)
     return new_state, payload["epoch"]
 
 

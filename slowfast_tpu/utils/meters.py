@@ -481,7 +481,16 @@ class AVAMeter:
             exclusions if os.path.exists(exclusions) else None
         ) if os.path.exists(exclusions) else set()
         if os.path.exists(gt_file):
-            self.groundtruth = ava_eval.read_csv(gt_file, self.class_whitelist)
+            full = ava_eval.read_csv(gt_file, self.class_whitelist)
+            # Val-during-training scores against the sec%4==0 mini GT
+            # (reference meters.py:28-43, ava_eval_helper.py:133-165);
+            # final test (and FULL_TEST_ON_VAL) uses the full GT.
+            if self.mode == "test" or (
+                self.mode == "val" and cfg.AVA.FULL_TEST_ON_VAL
+            ):
+                self.groundtruth = full
+            else:
+                self.groundtruth = ava_eval.get_ava_mini_groundtruth(full)
 
     def set_video_idx_to_name(self, names):
         self.video_idx_to_name = names
@@ -491,6 +500,11 @@ class AVAMeter:
 
     def iter_toc(self):
         self.iter_timer.pause()
+
+    def data_toc(self):
+        # Timer-triplet parity with TrainMeter: the train driver calls
+        # data_toc after batch staging; AVAMeter tracks only iter time.
+        pass
 
     def reset(self):
         self.loss.reset()
@@ -571,3 +585,13 @@ class AVAMeter:
             }
             log_json_stats(stats, self.output_dir)
             return stats
+        # Train-mode epoch summary (reference meters.py train branch).
+        stats = {
+            "_type": "train_epoch",
+            "cur_epoch": cur_epoch + 1,
+            "mode": self.mode,
+            "loss": self.loss.get_win_median() if self.loss.deque else None,
+            "lr": self.lr,
+        }
+        log_json_stats(stats, self.output_dir)
+        return stats

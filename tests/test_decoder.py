@@ -105,8 +105,9 @@ def test_decode_reference_temporal_sampling(test_video):
         clip_idx=0, num_clips=1, target_fps=target_fps, use_offset=True,
     )
     assert result is not None
-    frames, fps, _ = result
+    frames, fps, _, time_frac = result
     assert frames.shape == (num_frames, 48, 64, 3)
+    assert 0.0 <= time_frac <= 1.0
 
     clip_size = sampling_rate * num_frames / target_fps * fps
     delta = max(len(gt) - clip_size, 0)
@@ -128,10 +129,13 @@ def test_decode_native_multi_view(test_video):
         path, 2, 8, clip_idx=-1, num_clips=1, n_views=3
     )
     assert result is not None
-    clips, _, _ = result
+    clips, _, _, times = result
     assert len(clips) == 3
+    assert len(times) == 3
     for c in clips:
         assert c.shape == (8, 48, 64, 3)
+    for t in times:
+        assert 0.0 <= t <= 1.0
 
 
 def test_decode_cv2_fallback(test_video, monkeypatch):
