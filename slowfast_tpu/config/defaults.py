@@ -600,6 +600,13 @@ _C.TPU = CfgNode(
         # pooled-K attention is only ~5% of step HBM traffic, and the
         # kernel's recompute + dq-padding overheads outweigh the saving.
         PALLAS_ATTENTION=False,
+        # Round-3 aligned fused attention kernel (fused_pooled_attention):
+        # per-head-aligned flat layout, constant-shift softmax, e16-only
+        # residual. Default OFF: once the pool-norm fp32 promotion was
+        # fixed (bf16 q/k/v), the XLA einsum path measures 88.3 vs the
+        # kernel's 75.7 clips/s on MViTv2-S/v5e — XLA's fused bf16 chains
+        # beat the custom-call boundary. Kept for ablation/large-Nk cases.
+        FUSED_ATTENTION=False,
         # Use jax.checkpoint (remat) on heavy stages when ACT_CHECKPOINT.
         REMAT_POLICY="nothing_saveable",
         # Debug: return early after this stage name (e.g. "s2"); "" = off.

@@ -222,6 +222,9 @@ def _attention_core_bwd(res, do):
     dpn = jnp.einsum(
         "bqnc,bknc->bnqk", do_n, vh, preferred_element_type=jnp.float32
     )
+    # NOTE: forcing bf16 materialization of dpn/dl with optimization
+    # barriers was measured SLOWER (72.9 vs 74.4 clips/s) — XLA's fused
+    # recompute of this chain beats the extra round trips.
     r = jnp.sum(dpn * e16.astype(jnp.float32), axis=-1, keepdims=True)
     dl = (e16.astype(jnp.float32) * (dpn - r / s)).astype(dtype)
     dq = jnp.einsum(
@@ -258,6 +261,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool = False
     separate_qkv: bool = False
     use_pallas_attention: bool = False
+    fused_attention: bool = True
     dtype: Any = None
 
     def _pool_param(self, kernel, dim_conv, name):
@@ -339,8 +343,15 @@ class MultiScaleAttention(nn.Module):
         k, k_shape = pool(k, kkv, self.stride_kv, w_k)
         v, v_shape = pool(v, kkv, self.stride_kv, w_v)
         ln_heads = nh if self.mode == "conv" else 1
+        # dtype on the pool norms: LN statistics still accumulate in fp32
+        # (flax computes in promoted precision) but the OUTPUT stays in the
+        # compute dtype — without it q/k/v silently promote to fp32 and
+        # every attention matmul runs as multi-pass fp32 MXU emulation.
         ln_q = (
-            nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_q")
+            nn.LayerNorm(
+                epsilon=1e-6, bias_init=bias02, dtype=self.dtype,
+                name="norm_q",
+            )
             if conv_mode and kq
             else None
         )
@@ -349,11 +360,17 @@ class MultiScaleAttention(nn.Module):
                 q = self._apply_ln_heads(ln_q, q, ln_heads)
             if kkv:
                 k = self._apply_ln_heads(
-                    nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_k"),
+                    nn.LayerNorm(
+                        epsilon=1e-6, bias_init=bias02, dtype=self.dtype,
+                        name="norm_k",
+                    ),
                     k, ln_heads,
                 )
                 v = self._apply_ln_heads(
-                    nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_v"),
+                    nn.LayerNorm(
+                        epsilon=1e-6, bias_init=bias02, dtype=self.dtype,
+                        name="norm_v",
+                    ),
                     v, ln_heads,
                 )
 
@@ -394,11 +411,22 @@ class MultiScaleAttention(nn.Module):
         else:
             q_in, k_in = qh * scale, kh
         if self.use_pallas_attention:
-            # Pallas pooled-attention kernel: the (Nq, Nk) logits matrix
-            # never touches HBM (ops/pallas_attention.py).
+            # Round-2 Pallas pooled-attention kernel: the (Nq, Nk) logits
+            # matrix never touches HBM (ops/pallas_attention.py). Kept for
+            # A/B; the fused aligned kernel below supersedes it.
             from slowfast_tpu.ops.pallas_attention import pooled_attention
 
             xo = pooled_attention(q_in, k_in, vh).astype(v.dtype)
+        elif self.fused_attention and jax.default_backend() == "tpu":
+            # Aligned fused kernel: fp32 logits never reach HBM; only the
+            # compute-dtype e16 numerator is saved for backward.
+            from slowfast_tpu.ops.pallas_attention import (
+                fused_pooled_attention,
+            )
+
+            xo = fused_pooled_attention(
+                q_in, k_in, vh.astype(q_in.dtype)
+            )
         else:
             xo = _attention_core(q_in, k_in, vh.astype(q_in.dtype))
         if self.residual_pooling:
@@ -460,6 +488,7 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     use_pallas_attention: bool = False
+    fused_attention: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -486,6 +515,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             use_pallas_attention=self.use_pallas_attention,
+            fused_attention=self.fused_attention,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

@@ -292,6 +292,7 @@ class MViT(nn.Module):
                 dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
                 use_pallas_attention=use_pallas(cfg),
+                fused_attention=cfg.TPU.FUSED_ATTENTION,
                 dtype=dtype,
                 name=f"blocks_{i}",
             )(x, tuple(thw), not train)

@@ -82,6 +82,7 @@ class AttentionSubBlock(nn.Module):
             residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
             separate_qkv=cfg.MVIT.SEPARATE_QKV,
             use_pallas_attention=use_pallas(cfg),
+            fused_attention=cfg.TPU.FUSED_ATTENTION,
             dtype=self.dtype,
             name="attn",
         )
