@@ -312,7 +312,11 @@ class MViT(nn.Module):
         final_dim = blocks[-1]["dim_out"]
 
         if cfg.DETECTION.ENABLE:
-            x = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm")(x)
+            # dtype: the RoI head gathers this full-size map directly (no
+            # casting Dense in between) — avoid an fp32 promotion.
+            x = nn.LayerNorm(
+                epsilon=1e-6, bias_init=bias02, dtype=dtype, name="norm"
+            )(x)
             if cls_on:
                 x = x[:, 1:]
             x = x.reshape(B, thw[0], thw[1], thw[2], final_dim)
