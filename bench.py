@@ -325,11 +325,19 @@ def bench_e2e_input_pipeline():
         }
         return mesh_lib.shard_batch(batch, mesh), len(labels)
 
+    def epochs():
+        # The synthetic set is small (2 batches/epoch at B=16): loop
+        # epochs so the measurement covers enough steady-state batches
+        # (a single epoch ended the loop after ~1 timed batch before).
+        while True:
+            for item in loader:
+                yield item
+
     seen = 0
     m = None
     first = True
     t0 = None
-    for batch, n in DevicePrefetcher(iter(loader), stage, depth=2):
+    for batch, n in DevicePrefetcher(epochs(), stage, depth=2):
         state, m = step(state, batch, rng)
         if first:
             _sync(m)  # compile boundary; timer starts after
