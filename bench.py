@@ -245,6 +245,62 @@ def bench_x3d():
     return sps * B
 
 
+def bench_eval():
+    """Flagship eval-side numbers (BASELINE.json metric is "train + eval
+    ...; p50 clip latency"): jitted test-mode forward (eval act+mean head
+    semantics, TEST_CROP_SIZE) at B=16 for throughput, and per-dispatch
+    B=1 forwards for p50 single-clip latency. Each latency sample pays a
+    device round-trip (a scalar readback is the only reliable completion
+    barrier through the tunnel, ~2.4 ms overhead), so p50 is an upper
+    bound on on-device latency."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from slowfast_tpu.models import build_model
+    from slowfast_tpu.models.build import init_model
+
+    cfg = _flagship_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    model = build_model(cfg)
+    variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def eval_inputs(b):
+        t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.TEST_CROP_SIZE
+        a = cfg.SLOWFAST.ALPHA
+        shapes = [(b, t // a, s, s, 3), (b, t, s, s, 3)]
+        k = jax.random.PRNGKey(4)
+        return [
+            jax.random.normal(jax.random.fold_in(k, i), sh, jnp.bfloat16)
+            for i, sh in enumerate(shapes)
+        ]
+
+    print("bench: eval...", file=sys.stderr, flush=True)
+    B = int(os.environ.get("BENCH_EVAL_BATCH", "16"))
+    batch = eval_inputs(B)
+    out = fwd(variables, batch)
+    float(out[0, 0])  # compile + completion barrier
+    t0 = time.time()
+    n = 30
+    for _ in range(n):
+        out = fwd(variables, batch)
+    float(out[0, 0])
+    eval_rate = n * B / (time.time() - t0)
+
+    one = eval_inputs(1)
+    out = fwd(variables, one)
+    float(out[0, 0])
+    lats = []
+    for _ in range(30):
+        t0 = time.time()
+        out = fwd(variables, one)
+        float(out[0, 0])
+        lats.append(time.time() - t0)
+    return eval_rate, float(np.median(lats) * 1000)
+
+
 def bench_e2e_input_pipeline():
     """SlowFast train with the REAL input pipeline in the loop: synthetic
     .mp4 files -> native FFmpeg decode-at-scale -> full augmentation ->
@@ -409,6 +465,13 @@ def main():
             extra["ava_detection_train_clips_per_sec"] = round(av, 2)
         except Exception as e:
             extra["ava_detection_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_EVAL"):
+        try:
+            ev, p50 = bench_eval()
+            extra["slowfast_eval_clips_per_sec"] = round(ev, 2)
+            extra["slowfast_p50_clip_latency_ms"] = round(p50, 2)
+        except Exception as e:
+            extra["eval_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_E2E"):
         try:
             e2e, loader_rate, h2d = bench_e2e_input_pipeline()

@@ -50,7 +50,15 @@ def get_flop_stats(model, cfg, variables, is_train=False):
     from slowfast_tpu.models.build import dummy_inputs
 
     inputs = dummy_inputs(cfg, batch_size=1)
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    if cfg.DETECTION.ENABLE:
+        # RoI-head models take boxes (batch_idx, x1, y1, x2, y2); one box
+        # on the single dummy clip (reference misc.py:134-139 box input).
+        import jax.numpy as jnp
+
+        boxes = jnp.array([[0, 0, 0, 32, 32]], jnp.float32)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, boxes, train=False))
+    else:
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     compiled = fwd.lower(variables, inputs).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
