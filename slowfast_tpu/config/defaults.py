@@ -587,6 +587,13 @@ _C.TPU = CfgNode(
     dict(
         # Mesh axis sizes; -1 on DATA means "all remaining devices".
         MESH_DATA=-1,
+        # Spatial partitioning: shard the clip H axis over a second
+        # ("spatial") mesh axis of this size. XLA/GSPMD inserts the conv
+        # halo exchanges automatically; semantics are identical to the
+        # data-only mesh (tested). Lets per-chip batch shrink below 1
+        # clip — the TPU answer to the reference's fixed one-GPU-many-
+        # clips decomposition for large spatial extents.
+        SPATIAL_PARTITIONS=1,
         # Compute dtype for matmuls/convs: "bfloat16" or "float32".
         COMPUTE_DTYPE="bfloat16",
         # Number of batches prefetched to device.

@@ -164,12 +164,15 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True,
         return new_state, metrics
 
     if mesh is not None:
+        from slowfast_tpu.parallel.mesh import clip_sharding
+
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         # "inputs": a single sharding broadcasts over the pathway list
         # (pytree-prefix semantics), so the uint8 single-clip form and the
-        # float pathway-list form both shard by batch.
-        batch_shardings = {"inputs": data, "labels": data}
+        # float pathway-list form both shard by batch (plus H over the
+        # spatial axis on a 2-D mesh — GSPMD inserts the conv halos).
+        batch_shardings = {"inputs": clip_sharding(mesh), "labels": data}
         if detection:
             batch_shardings["boxes"] = data
             batch_shardings["box_mask"] = data
@@ -203,8 +206,10 @@ def make_eval_step(cfg, model, mesh=None):
         return preds
 
     if mesh is not None:
+        from slowfast_tpu.parallel.mesh import clip_sharding
+
         data = NamedSharding(mesh, P("data"))
-        batch_shardings = {"inputs": data, "labels": data}
+        batch_shardings = {"inputs": clip_sharding(mesh), "labels": data}
         if detection:
             batch_shardings["boxes"] = data
         return jax.jit(step_fn, in_shardings=(None, batch_shardings))

@@ -30,17 +30,37 @@ def init_distributed(cfg):
 
 
 def create_mesh(cfg=None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """Device mesh: 1-D ``(data,)`` by default; 2-D ``(data, spatial)``
+    when ``TPU.SPATIAL_PARTITIONS > 1`` (clip H axis sharded, XLA inserts
+    conv halo exchanges)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if cfg is not None and cfg.TPU.MESH_DATA not in (-1, 0, None):
         n = min(n, cfg.TPU.MESH_DATA)
         devices = devices[:n]
+    sp = int(cfg.TPU.SPATIAL_PARTITIONS) if cfg is not None else 1
+    if sp > 1:
+        if n % sp:
+            raise ValueError(
+                f"TPU.SPATIAL_PARTITIONS={sp} does not divide {n} devices"
+            )
+        return Mesh(
+            np.asarray(devices).reshape(n // sp, sp),
+            axis_names=("data", "spatial"),
+        )
     return Mesh(np.asarray(devices).reshape(n), axis_names=("data",))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def clip_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, T, H, W, C) clip tensors: batch over ``data``,
+    H over ``spatial`` when the mesh has that axis."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", None, "spatial"))
     return NamedSharding(mesh, P("data"))
 
 
@@ -55,15 +75,19 @@ def shard_batch(batch, mesh: Mesh):
     process contributes its local slice of the global batch
     (make_array_from_process_local_data assembles the global array)."""
     sharding = batch_sharding(mesh)
+    clips = clip_sharding(mesh)
     repl = replicated(mesh)
     multihost = jax.process_count() > 1
 
     def put(x):
         if np.ndim(x) < 1:
             return jax.device_put(x, repl)
+        # Rank-5 (B, T, H, W, C) clips additionally shard H over the
+        # spatial axis (no-op on a 1-D mesh).
+        s = clips if np.ndim(x) == 5 else sharding
         if multihost:
-            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
-        return jax.device_put(x, sharding)
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
 
     return jax.tree.map(put, batch)
 

@@ -99,6 +99,45 @@ def test_train_step_sharded_over_mesh(tiny_cfg):
     assert len(batch["inputs"][0].sharding.device_set) == 8
 
 
+def test_spatial_partitioning_matches_data_only_mesh(tiny_cfg):
+    """2-D (data, spatial) mesh: the clip H axis is sharded and GSPMD
+    inserts the conv halo exchanges; the step must be semantically
+    identical to the 1-D data mesh (same loss on the same batch/rng)."""
+    cfg = tiny_cfg
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.FUSION_KERNEL_SZ = 5
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.INPUT_CHANNEL_NUM = [3, 3]
+
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import init_model
+
+    variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=True)
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+
+    losses = {}
+    for sp in (1, 2):
+        cfg.TPU.SPATIAL_PARTITIONS = sp
+        mesh = create_mesh(cfg)
+        assert mesh.devices.size == 8
+        if sp > 1:
+            assert mesh.axis_names == ("data", "spatial")
+        state = create_train_state(cfg, model, tx, rng=jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+        batch = shard_batch(_batch(cfg, b=8), mesh)
+        if sp > 1:
+            # H really is sharded over the spatial axis.
+            spec = batch["inputs"][0].sharding.spec
+            assert spec[2] == "spatial"
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses[sp] = float(metrics["loss"])
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-5)
+
+
 def test_global_batch_stats_match_single_device(tiny_cfg):
     """BN stats under a sharded batch must equal the unsharded computation
     (GSPMD computes global-batch statistics)."""
