@@ -78,6 +78,7 @@ def _test_one(cfg):
     tx, _ = construct_optimizer(variables["params"], cfg, 1)
     state = create_train_state(cfg, model, tx, rng=rng)
     state = cu.load_test_checkpoint(cfg, state)
+    state = mesh_lib.commit_state(state, mesh)
 
     test_loader = construct_loader(cfg, "test")
     eval_fn = make_eval_step(cfg, model, mesh=mesh)

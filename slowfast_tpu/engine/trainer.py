@@ -227,6 +227,7 @@ def train_ssl(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
     if start_epoch:
         logger.info("Resuming SSL training from epoch %d", start_epoch + 1)
+    state = mesh_lib.commit_state(state, mesh)
     step_fn = make_ssl_train_step(
         cfg, model, tx, mesh=mesh, steps_per_epoch=steps_per_epoch,
         donate=cfg.TPU.DONATE,
@@ -341,6 +342,10 @@ def train(cfg):
     del variables
 
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    # Commit placement up front: an uncommitted state makes the step's
+    # second call a jit-cache MISS (full ~60s recompile on the tunneled
+    # chip) because step outputs are committed (parallel/mesh.py).
+    state = mesh_lib.commit_state(state, mesh)
 
     step_fn = make_train_step(
         cfg, model, tx, mesh=mesh, donate=cfg.TPU.DONATE, epoch_in_batch=True

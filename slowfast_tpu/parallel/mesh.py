@@ -92,6 +92,24 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def commit_state(state, mesh: Optional[Mesh] = None):
+    """device_put a train state with explicit (replicated) placement.
+
+    Eagerly-created (or checkpoint-loaded) state is UNCOMMITTED; a jitted
+    step's output state is COMMITTED, so the step's second call misses the
+    jit cache and recompiles the whole graph (~60s for the flagship R50
+    through the tunneled runtime). Committing up front gives call 1 and
+    call 2 the same cache entry. Multi-host processes skip it (device_put
+    to a cross-process sharding is not supported) and pay the one
+    recompile instead.
+    """
+    if jax.process_count() > 1:
+        return state
+    if mesh is not None:
+        return jax.device_put(state, replicated(mesh))
+    return jax.device_put(state, jax.devices()[0])
+
+
 def pad_batch_for_mesh(batch, mesh: Mesh):
     """Pad every array's leading axis to a multiple of the mesh size by
     repeating the last row (eval loaders keep partial batches,

@@ -99,6 +99,28 @@ def test_train_step_sharded_over_mesh(tiny_cfg):
     assert len(batch["inputs"][0].sharding.device_set) == 8
 
 
+def test_committed_state_no_second_compile(tiny_cfg):
+    """commit_state places the eagerly-created state explicitly so the
+    step's second call (fed the committed OUTPUT state of call 1) hits the
+    jit cache. Without it the uncommitted->committed aval change forces a
+    full recompile (~60s for the flagship through the tunneled chip)."""
+    from slowfast_tpu.parallel.mesh import commit_state
+
+    cfg = tiny_cfg
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "c2d"
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+
+    model, tx, state = _setup(cfg)
+    state = commit_state(state)
+    step = make_train_step(cfg, model, tx, donate=False)
+    batch = _batch(cfg, b=4)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert step._cache_size() == 1, "second step call recompiled"
+
+
 def test_spatial_partitioning_matches_data_only_mesh(tiny_cfg):
     """2-D (data, spatial) mesh: the clip H axis is sharded and GSPMD
     inserts the conv halo exchanges; the step must be semantically
