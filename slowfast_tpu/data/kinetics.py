@@ -320,30 +320,7 @@ class Kinetics:
         return frames, label, index, time_out, meta
 
     def _gen_mask(self):
-        """MaskFeat mask generation (reference kinetics.py:470-504):
-        tube / per-frame / 3D-block masking at MASK_WINDOW_SIZE granularity."""
-        cfg = self.cfg
-        from .transform import MaskingGenerator, MaskingGenerator3D
-
-        win = cfg.AUG.MASK_WINDOW_SIZE
-        ratio = cfg.AUG.MASK_RATIO
-        if cfg.AUG.MASK_TUBE:
-            num = round(win[1] * win[2] * ratio)
-            m = MaskingGenerator(
-                (win[1], win[2]), num,
-                max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK,
-            )()
-            return np.tile(m[None], (win[0], 1, 1)).astype(np.float32)
-        if cfg.AUG.MASK_FRAMES:
-            m = np.zeros(win, np.float32)
-            n_frames = round(win[0] * ratio)
-            idx = np.random.permutation(win[0])[:n_frames]
-            m[idx] = 1.0
-            return m
-        num = round(np.prod(win) * ratio)
-        return MaskingGenerator3D(
-            win, num, max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK
-        )().astype(np.float32)
+        return gen_mask(self.cfg)
 
     def _process_clip(
         self, frames, spatial_sample_index, min_scale, max_scale, crop_size
@@ -425,6 +402,32 @@ class Kinetics:
             # Single uint8 clip; the device does normalize + pathway split.
             return [np.ascontiguousarray(frames)]
         return data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+
+
+def gen_mask(cfg):
+    """MaskFeat mask generation (reference kinetics.py:470-504):
+    tube / per-frame / 3D-block masking at MASK_WINDOW_SIZE granularity."""
+    from .transform import MaskingGenerator, MaskingGenerator3D
+
+    win = cfg.AUG.MASK_WINDOW_SIZE
+    ratio = cfg.AUG.MASK_RATIO
+    if cfg.AUG.MASK_TUBE:
+        num = round(win[1] * win[2] * ratio)
+        m = MaskingGenerator(
+            (win[1], win[2]), num,
+            max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK,
+        )()
+        return np.tile(m[None], (win[0], 1, 1)).astype(np.float32)
+    if cfg.AUG.MASK_FRAMES:
+        m = np.zeros(win, np.float32)
+        n_frames = round(win[0] * ratio)
+        idx = np.random.permutation(win[0])[:n_frames]
+        m[idx] = 1.0
+        return m
+    num = round(np.prod(win) * ratio)
+    return MaskingGenerator3D(
+        win, num, max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK
+    )().astype(np.float32)
 
 
 @DATASET_REGISTRY.register(name="Syntheticvideo")
@@ -520,7 +523,7 @@ class Syntheticvideo:
             label,
             index,
             np.zeros((1,)),
-            {},
+            {"mask": gen_mask(cfg)} if cfg.AUG.GEN_MASK_LOADER else {},
         )
 
 

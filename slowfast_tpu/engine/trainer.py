@@ -424,7 +424,12 @@ def train(cfg):
             else None
         )
         is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch, mg_schedule)
-        is_eval = _is_eval_epoch(cfg, cur_epoch, mg_schedule)
+        # Masked pretraining never evals (reference train_net.py:689-695:
+        # `... and not cfg.MASK.ENABLE` — there is no val protocol for the
+        # reconstruction objective; quality is judged by fine-tuning).
+        is_eval = _is_eval_epoch(cfg, cur_epoch, mg_schedule) and not (
+            cfg.MASK.ENABLE
+        )
 
         # Precise-BN: replace running stats with the plain average over N
         # train batches before checkpointing/eval (reference

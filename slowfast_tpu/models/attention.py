@@ -261,7 +261,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool = False
     separate_qkv: bool = False
     use_pallas_attention: bool = False
-    fused_attention: bool = True
+    fused_attention: bool = False
     dtype: Any = None
 
     def _pool_param(self, kernel, dim_conv, name):
@@ -488,7 +488,7 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     use_pallas_attention: bool = False
-    fused_attention: bool = True
+    fused_attention: bool = False
     dtype: Any = None
 
     @nn.compact

@@ -36,6 +36,13 @@ def init_model(model, cfg, rng=None, train=True):
     if cfg.DETECTION.ENABLE:
         boxes = jnp.array([[0, 0, 0, 32, 32], [1, 8, 8, 48, 48]], jnp.float32)
         variables = model.init(rngs, inputs, boxes, train=train)
+    elif cfg.MASK.ENABLE and not cfg.MASK.MAE_ON:
+        # MaskFeat takes a loader-granularity mask (reference passes the
+        # collated mask into forward); init with a dummy at
+        # AUG.MASK_WINDOW_SIZE so the module tree traces.
+        t, h, w = cfg.AUG.MASK_WINDOW_SIZE
+        mask = jnp.zeros((2, t, h, w), jnp.float32)
+        variables = model.init(rngs, inputs, mask=mask, train=train)
     else:
         variables = model.init(rngs, inputs, train=train)
     return variables

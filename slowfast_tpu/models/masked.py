@@ -17,6 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from slowfast_tpu.ops.hog import hog_features
+from slowfast_tpu.ops.pallas_attention import use_pallas
 from .attention import MultiScaleBlock, bias02, trunc02
 from .mvit import MViT, get_3d_sincos_pos_embed, mvit_block_schedule
 from .stem import PatchEmbed
@@ -107,7 +108,16 @@ class MaskMViT(nn.Module):
             mask_token.astype(dtype) * mask_flat.astype(dtype)
         )
 
-        x = self._add_pos(tokens, B)
+        # cls token is prepended AFTER mask replacement (reference :562-564),
+        # so it is never replaced by the mask token.
+        s = 1 if cfg.MVIT.CLS_EMBED_ON else 0
+        if s:
+            cls_token = self.param("cls_token", trunc02, (1, 1, C), jnp.float32)
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_token.astype(dtype), (B, 1, C)), tokens],
+                axis=1,
+            )
+        x = self._add_pos(tokens, B, num_cls=s)
         x, feats = self._trunk(x, [T0, H0, W0], train)
 
         # Targets: HOG (or raw pixels) of the input frames per feature cell.
@@ -115,7 +125,9 @@ class MaskMViT(nn.Module):
         nbins, cell_sz = 9, 8
         sched = mvit_block_schedule(cfg)
         for d_i, depth in enumerate(cfg.MASK.PRETRAIN_DEPTH):
-            feat = feats[d_i]  # (B, N_d, C_d) tokens at that depth
+            # Head drops the cls token before projecting (reference
+            # head_helper.py MSSeparateHead.forward `x = x[:, 1:]`).
+            feat = feats[d_i][:, s:]  # (B, N_d, C_d) grid tokens at that depth
             # Feature geometry at this depth.
             stride_acc = [1, 1, 1]
             for i in range(depth + 1):
@@ -195,8 +207,12 @@ class MaskMViT(nn.Module):
         T0, H0, W0 = thw
         ratio = cfg.AUG.MASK_RATIO
         len_keep = int(N * (1 - ratio))
+        s = 1 if cfg.MVIT.CLS_EMBED_ON else 0
 
-        x = self._add_pos(tokens, B)
+        # Patch pos is added before the visible-token gather (equivalent to
+        # the reference's gather-then-add, reference :363-377).
+        pos = self._pos_table(N, C, num_cls=s)
+        x = tokens if pos is None else tokens + pos[:, s:].astype(tokens.dtype)
 
         # Random masking via argsorted noise (reference :283-318).
         rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
@@ -205,6 +221,16 @@ class MaskMViT(nn.Module):
         ids_restore = jnp.argsort(ids_shuffle, axis=1)
         ids_keep = ids_shuffle[:, :len_keep]
         x_vis = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+
+        if s:
+            # cls token joins only the visible set (reference :340-346).
+            cls_token = self.param("cls_token", trunc02, (1, 1, C), jnp.float32)
+            cls = cls_token.astype(x_vis.dtype)
+            if pos is not None:
+                cls = cls + pos[:, :s].astype(x_vis.dtype)
+            x_vis = jnp.concatenate(
+                [jnp.broadcast_to(cls, (B, s, C)), x_vis], axis=1
+            )
 
         # Encoder over visible tokens only.
         x_enc, _ = self._trunk(x_vis, None, train)
@@ -220,10 +246,13 @@ class MaskMViT(nn.Module):
             "mask_token", trunc02, (1, 1, dec_dim), jnp.float32
         ).astype(x_dec.dtype)
         mask_tokens = jnp.broadcast_to(mask_token, (B, N - len_keep, dec_dim))
-        x_full = jnp.concatenate([x_dec, mask_tokens], axis=1)
-        x_full = jnp.take_along_axis(x_full, ids_restore[:, :, None], axis=1)
+        # Unshuffle patch tokens only; cls stays at the front (reference
+        # :400-414: `x_ = cat([x[:, s:], mask_tokens])` ... `cat([x[:, :s], x_])`).
+        x_ = jnp.concatenate([x_dec[:, s:], mask_tokens], axis=1)
+        x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x_full = jnp.concatenate([x_dec[:, :s], x_], axis=1)
         dec_pos = self.param(
-            "dec_pos_embed", trunc02, (1, N, dec_dim), jnp.float32
+            "dec_pos_embed", trunc02, (1, s + N, dec_dim), jnp.float32
         )
         x_full = x_full + dec_pos.astype(x_full.dtype)
         for i in range(cfg.MASK.DECODER_DEPTH):
@@ -233,7 +262,10 @@ class MaskMViT(nn.Module):
                 num_heads=max(dec_dim // 64, 1),
                 input_size=(T0, H0, W0),
                 mlp_ratio=cfg.MVIT.MLP_RATIO,
+                use_pallas_attention=use_pallas(cfg),
+                fused_attention=cfg.TPU.FUSED_ATTENTION,
                 qkv_bias=cfg.MVIT.QKV_BIAS,
+                has_cls_embed=bool(s),
                 dtype=dtype,
                 name=f"decoder_blocks_{i}",
             )(x_full, [T0, H0, W0], deterministic=not train)
@@ -241,13 +273,13 @@ class MaskMViT(nn.Module):
             x_full
         )
 
-        # Pixel targets.
-        t_stride = 1 if cfg.MASK.TIME_STRIDE_LOSS else self.cfg.MVIT.PATCH_STRIDE[0]
+        # Pixel targets. Head drops the cls token before projecting
+        # (reference head_helper.py MSSeparateHead.forward).
         labels = self._mae_pixel_targets(x_raw, T0, H0, W0)
         pred = nn.Dense(
             labels.shape[-1], kernel_init=trunc02, bias_init=bias02, dtype=dtype,
             name="pred_head",
-        )(x_full)
+        )(x_full[:, s:])
 
         mask = jnp.zeros((B, N))
         mask = mask.at[:, len_keep:].set(1.0)
@@ -282,22 +314,40 @@ class MaskMViT(nn.Module):
     # Shared trunk helpers
     # ------------------------------------------------------------------
 
-    def _add_pos(self, tokens, B):
+    def _pos_table(self, n_patches, C, num_cls=0):
+        """Absolute pos-embed table (1, num_cls + n_patches, C) or None.
+
+        Sep mode builds spatial x temporal factors with a class slot
+        prepended (reference :566-577); joint mode is one table whose
+        first `num_cls` rows belong to the cls token (reference :106).
+        """
         cfg = self.cfg
-        C = tokens.shape[-1]
         if not cfg.MVIT.USE_ABS_POS:
-            return tokens
-        N = tokens.shape[1]
+            return None
         if cfg.MVIT.SEP_POS_EMBED:
-            patch_stride = list(cfg.MVIT.PATCH_STRIDE)
-            T0 = cfg.DATA.NUM_FRAMES // patch_stride[0]
-            HW = N // T0
+            T0 = cfg.DATA.NUM_FRAMES // list(cfg.MVIT.PATCH_STRIDE)[0]
+            HW = n_patches // T0
             pe_s = self.param("pos_embed_spatial", trunc02, (1, HW, C), jnp.float32)
             pe_t = self.param("pos_embed_temporal", trunc02, (1, T0, C), jnp.float32)
             pos = jnp.tile(pe_s, (1, T0, 1)) + jnp.repeat(pe_t, HW, axis=1)
+            if num_cls:
+                pe_c = self.param(
+                    "pos_embed_class", trunc02, (1, num_cls, C), jnp.float32
+                )
+                pos = jnp.concatenate([pe_c, pos], axis=1)
         else:
-            pos = self.param("pos_embed", trunc02, (1, N, C), jnp.float32)
-        return tokens + pos.astype(tokens.dtype)[:, : tokens.shape[1]]
+            pos = self.param(
+                "pos_embed", trunc02, (1, num_cls + n_patches, C), jnp.float32
+            )
+        return pos
+
+    def _add_pos(self, tokens, B, num_cls=0):
+        """Add pos embed to tokens that already include `num_cls` leading
+        cls tokens."""
+        pos = self._pos_table(tokens.shape[1] - num_cls, tokens.shape[-1], num_cls)
+        if pos is None:
+            return tokens
+        return tokens + pos.astype(tokens.dtype)
 
     def _trunk(self, x, thw, train):
         """MViT blocks up to PRETRAIN_DEPTH; collects per-depth features.
@@ -322,6 +372,8 @@ class MaskMViT(nn.Module):
                 num_heads=blk["num_heads"],
                 input_size=tuple(cur_thw) if cur_thw else (1, 1, 1),
                 mlp_ratio=cfg.MVIT.MLP_RATIO,
+                use_pallas_attention=use_pallas(cfg),
+                fused_attention=cfg.TPU.FUSED_ATTENTION,
                 qkv_bias=cfg.MVIT.QKV_BIAS,
                 droppath_rate=float(dpr[i]),
                 kernel_q=blk["kernel_q"] if use_pool else (),

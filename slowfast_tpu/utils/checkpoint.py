@@ -112,17 +112,28 @@ def load_native_checkpoint(path, state, load_opt=True):
 
     ``load_opt=False`` restores only model weights/stats (fine-tune init with
     CHECKPOINT_EPOCH_RESET: the optimizer state and step counter stay fresh
-    so the LR schedule restarts, reference checkpoint.py:506-521).
+    so the LR schedule restarts, reference checkpoint.py:506-521). In this
+    mode the load is PARTIAL-MATCH like the reference's ``strict=False``
+    ``pre_train_dict_match`` filter (reference checkpoint.py:380-430): only
+    keys present in both trees with matching shapes are copied, so a
+    MaskFeat/MAE pretrain checkpoint initializes the fine-tune MViT trunk
+    while the fresh classifier head and the checkpoint's decoder/pred heads
+    are skipped. 1-D ``rel_pos_*`` length mismatches are linearly
+    re-interpolated (reference :443-451).
     """
     with open(path, "rb") as f:
         payload = pickle.load(f)
     assert payload.get("format", "").startswith("slowfast_tpu."), (
         f"{path} is not a native checkpoint; use load_torch_checkpoint"
     )
-    model = serialization.from_bytes(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        payload["model_state"],
-    )
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    if load_opt:
+        # Resume: the trees must match exactly.
+        model = serialization.from_bytes(template, payload["model_state"])
+    else:
+        model = _partial_restore(
+            template, serialization.msgpack_restore(payload["model_state"])
+        )
     new_state = state.replace(
         params=model["params"],
         batch_stats=model["batch_stats"],
@@ -154,6 +165,42 @@ def load_native_checkpoint(path, state, load_opt=True):
                 )
         new_state = new_state.replace(ssl_state=ssl_state)
     return new_state, payload["epoch"]
+
+
+def _partial_restore(template, raw):
+    """Copy every checkpoint leaf whose path exists in ``template`` with a
+    matching shape; keep the template init elsewhere. Mirrors the
+    reference's fine-tune filter (checkpoint.py:380-430)."""
+    tflat = _flatten(_to_mutable(template))
+    rflat = _flatten(raw)
+    loaded, skipped = [], []
+    for path, tval in tflat.items():
+        if path not in rflat:
+            continue
+        val = np.asarray(rflat[path])
+        tshape = tuple(np.asarray(tval).shape)
+        if val.shape == tshape:
+            tflat[path] = val
+            loaded.append(path)
+        elif (
+            path[-1].startswith("rel_pos")
+            and val.ndim == 2
+            and val.shape[1] == tshape[1]
+        ):
+            tflat[path] = _interp_linear(val, tshape[0])
+            loaded.append(path)
+        else:
+            skipped.append((path, val.shape, tshape))
+    unexpected = [p for p in rflat if p not in tflat]
+    missing = [p for p in tflat if p not in rflat]
+    logger.info(
+        "partial restore: %d loaded, %d shape-skipped, %d missing (fresh "
+        "init), %d unexpected (dropped)",
+        len(loaded), len(skipped), len(missing), len(unexpected),
+    )
+    for p, got, want in skipped:
+        logger.warning("shape mismatch %s: ckpt %s vs model %s", ".".join(p), got, want)
+    return _unflatten(tflat, _to_mutable(template))
 
 
 # ---------------------------------------------------------------------------
