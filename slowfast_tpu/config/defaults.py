@@ -594,6 +594,15 @@ _C.TPU = CfgNode(
         # clip — the TPU answer to the reference's fixed one-GPU-many-
         # clips decomposition for large spatial extents.
         SPATIAL_PARTITIONS=1,
+        # Sequence partitioning (MViT family): shard the token axis of
+        # every (B, N, C) block activation over a second ("seq") mesh
+        # axis. Token-parallel LN/MLP/projections run without comms;
+        # GSPMD all-gathers the (pooled, small) K/V for attention and
+        # reshards around pooling convs. The TPU answer to the
+        # reference's single-GPU O(N^2) ceiling for long token grids
+        # (SURVEY.md §5: MViTv2-L 40x3 reaches N≈62k at stage 1).
+        # Mutually exclusive with SPATIAL_PARTITIONS.
+        SEQ_PARTITIONS=1,
         # Compute dtype for matmuls/convs: "bfloat16" or "float32".
         COMPUTE_DTYPE="bfloat16",
         # Number of batches prefetched to device.

@@ -180,8 +180,17 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True,
             batch_shardings["mask"] = data
         if epoch_in_batch:
             batch_shardings["epoch_exact"] = repl
+
+        def sharded_step(state, batch, rng):
+            # Trace-time context: MViT-family blocks pin their (B, N, C)
+            # activations to the seq axis (no-op without one).
+            from slowfast_tpu.parallel.mesh import token_partitioning
+
+            with token_partitioning(mesh):
+                return step_fn(state, batch, rng)
+
         return jax.jit(
-            step_fn,
+            sharded_step,
             in_shardings=(None, batch_shardings, repl),
             donate_argnums=(0,) if donate else (),
         )
@@ -212,7 +221,14 @@ def make_eval_step(cfg, model, mesh=None):
         batch_shardings = {"inputs": clip_sharding(mesh), "labels": data}
         if detection:
             batch_shardings["boxes"] = data
-        return jax.jit(step_fn, in_shardings=(None, batch_shardings))
+
+        def sharded_step(state, batch):
+            from slowfast_tpu.parallel.mesh import token_partitioning
+
+            with token_partitioning(mesh):
+                return step_fn(state, batch)
+
+        return jax.jit(sharded_step, in_shardings=(None, batch_shardings))
     return jax.jit(step_fn)
 
 

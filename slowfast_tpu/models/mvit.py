@@ -266,6 +266,13 @@ class MViT(nn.Module):
             if cfg.MODEL.ACT_CHECKPOINT
             else MultiScaleBlock
         )
+        # Sequence partitioning: pin the token axis to the seq mesh axis
+        # at every block boundary (no-op off a seq mesh). GSPMD keeps
+        # LN/MLP/projections token-parallel and inserts the (small,
+        # pooled) K/V all-gathers inside attention.
+        from slowfast_tpu.parallel.mesh import constrain_tokens
+
+        x = constrain_tokens(x)
         for i in range(depth):
             blk = blocks[i]
             x, _thw_out = block_cls(
@@ -296,6 +303,7 @@ class MViT(nn.Module):
                 dtype=dtype,
                 name=f"blocks_{i}",
             )(x, tuple(thw), not train)
+            x = constrain_tokens(x)
             # Track thw statically (remat boxes returned python ints).
             # Pooling with kernel k (odd or s+1) and pad k//2 yields
             # ceil(size/stride) = (size-1)//stride + 1, NOT size//stride —

@@ -39,14 +39,21 @@ def create_mesh(cfg=None, devices=None) -> Mesh:
         n = min(n, cfg.TPU.MESH_DATA)
         devices = devices[:n]
     sp = int(cfg.TPU.SPATIAL_PARTITIONS) if cfg is not None else 1
-    if sp > 1:
-        if n % sp:
+    sq = int(cfg.TPU.SEQ_PARTITIONS) if cfg is not None else 1
+    if sp > 1 and sq > 1:
+        raise ValueError(
+            "TPU.SPATIAL_PARTITIONS and TPU.SEQ_PARTITIONS are mutually "
+            "exclusive (one model-parallel axis per mesh)"
+        )
+    if sp > 1 or sq > 1:
+        size, axis = (sp, "spatial") if sp > 1 else (sq, "seq")
+        if n % size:
             raise ValueError(
-                f"TPU.SPATIAL_PARTITIONS={sp} does not divide {n} devices"
+                f"{axis} partitions={size} does not divide {n} devices"
             )
         return Mesh(
-            np.asarray(devices).reshape(n // sp, sp),
-            axis_names=("data", "spatial"),
+            np.asarray(devices).reshape(n // size, size),
+            axis_names=("data", axis),
         )
     return Mesh(np.asarray(devices).reshape(n), axis_names=("data",))
 
@@ -66,6 +73,50 @@ def clip_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# --- Sequence (token-axis) partitioning --------------------------------------
+#
+# The MViT family's activations are (B, N, C) token tensors; under a
+# (data, seq) mesh the N axis is sharded so LN/MLP/projection compute is
+# token-parallel and GSPMD inserts the attention K/V all-gathers. The mesh
+# is communicated to model code via this trace-time context (model modules
+# have no mesh argument; the step builders activate it around apply()).
+
+_TOKEN_MESH = None
+
+
+class token_partitioning:
+    """Context manager: activate token-axis sharding constraints for the
+    MViT family while tracing a step on a mesh with a ``seq`` axis."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = (
+            mesh if mesh is not None and "seq" in mesh.axis_names else None
+        )
+
+    def __enter__(self):
+        global _TOKEN_MESH
+        self._prev = _TOKEN_MESH
+        if self.mesh is not None:
+            _TOKEN_MESH = self.mesh
+        return self
+
+    def __exit__(self, *exc):
+        global _TOKEN_MESH
+        _TOKEN_MESH = self._prev
+        return False
+
+
+def constrain_tokens(x):
+    """Pin a (B, N, C) token activation to P(data, seq, None) when token
+    partitioning is active; identity otherwise (single-chip, data-only or
+    spatial meshes)."""
+    if _TOKEN_MESH is None or x.ndim != 3:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_TOKEN_MESH, P("data", "seq", None))
+    )
 
 
 def shard_batch(batch, mesh: Mesh):

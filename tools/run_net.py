@@ -8,6 +8,14 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor an explicit JAX_PLATFORMS even when a sitecustomize hook has
+# prepended its own platform (e.g. forcing the cpu backend for debugging:
+# JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count=N).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from slowfast_tpu.config import assert_and_infer_cfg
 from slowfast_tpu.utils.parser import load_config, parse_args
 
