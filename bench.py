@@ -248,6 +248,38 @@ def bench_x3d():
     return sps * B
 
 
+def bench_maskfeat():
+    """MaskFeat pretrain step (MViTv2-S 16x4 recipe): masked-token trunk
+    + on-device HOG targets (ops/hog.py) + mask-weighted loss. The
+    reference publishes no pretrain throughput; the row tracks the
+    masked-pretrain path for regressions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slowfast_tpu.config import get_cfg
+    from slowfast_tpu.data.kinetics import gen_mask
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs/masked_ssl/MVITv2_S_16x4_MaskFeat_PT.yaml")
+    )
+    cfg.NUM_GPUS = 1
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    state, step, rng = _build(cfg)
+    B = int(os.environ.get("BENCH_MVIT_BATCH", "16"))
+    mask = np.stack([gen_mask(cfg) for _ in range(B)])
+    batch = {
+        "inputs": _sf_inputs(cfg, B, random=True),
+        "labels": jnp.zeros((B,), jnp.int32),
+        "mask": jnp.asarray(mask, jnp.float32),
+    }
+    print("bench: maskfeat-pt...", file=sys.stderr, flush=True)
+    sps = _time_steps(state, step, batch, rng)
+    return sps * B
+
+
 def bench_eval():
     """Flagship eval-side numbers (BASELINE.json metric is "train + eval
     ...; p50 clip latency"): jitted test-mode forward (eval act+mean head
@@ -480,6 +512,12 @@ def main():
             extra["ava_detection_train_clips_per_sec"] = round(av, 2)
         except Exception as e:
             extra["ava_detection_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_MASKED"):
+        try:
+            mk = bench_maskfeat()
+            extra["maskfeat_pt_train_clips_per_sec"] = round(mk, 2)
+        except Exception as e:
+            extra["maskfeat_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_EVAL"):
         try:
             ev, p50 = bench_eval()

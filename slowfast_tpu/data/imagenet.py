@@ -97,10 +97,32 @@ class Imagenet:
             frames = transform.uniform_crop(frames, test_crop, 1)
 
         label = entry["class"]
+        meta = {}
+        if self.mode == "train" and cfg.AUG.GEN_MASK_LOADER:
+            meta["mask"] = _maskfeat_mask(cfg)
         return (
             data_utils.pack_pathway_output(cfg, np.ascontiguousarray(frames, np.float32)),
             label,
             index,
             np.zeros((1,)),
-            {},
+            meta,
         )
+
+
+def _maskfeat_mask(cfg):
+    """2D MaskFeat mask at the PRETRAIN_DEPTH feature geometry
+    (reference imagenet.py:170-206: window = feat size at the deepest
+    pretrain depth, num = h*w*MASK_RATIO, min = num//5)."""
+    from slowfast_tpu.models.mvit import maskfeat_feature_size
+
+    from .transform import MaskingGenerator
+
+    h = maskfeat_feature_size(cfg)
+    num = round(h * h * cfg.AUG.MASK_RATIO)
+    gen = MaskingGenerator(
+        (h, h),
+        num,
+        min_num_patches=max(num // 5, 1),
+        max_num_patches=cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK,
+    )
+    return gen().astype(np.float32)

@@ -406,8 +406,14 @@ class Kinetics:
 
 def gen_mask(cfg):
     """MaskFeat mask generation (reference kinetics.py:470-504):
-    tube / per-frame / 3D-block masking at MASK_WINDOW_SIZE granularity."""
+    tube / per-frame / 3D-block masking at MASK_WINDOW_SIZE granularity.
+    2D-patch models get the image-style feature-geometry mask."""
     from .transform import MaskingGenerator, MaskingGenerator3D
+
+    if cfg.MVIT.PATCH_2D:
+        from .imagenet import _maskfeat_mask
+
+        return _maskfeat_mask(cfg)
 
     win = cfg.AUG.MASK_WINDOW_SIZE
     ratio = cfg.AUG.MASK_RATIO

@@ -81,6 +81,14 @@ def _test_one(cfg):
     state = mesh_lib.commit_state(state, mesh)
 
     test_loader = construct_loader(cfg, "test")
+
+    if cfg.VIS_MASK.ENABLE and cfg.MASK.ENABLE and cfg.MASK.MAE_ON:
+        # MAE reconstruction visualization replaces metric eval
+        # (reference test_net.py:124).
+        from slowfast_tpu.visualization.mae_vis import run_mae_visualization
+
+        return run_mae_visualization(cfg, model, state, test_loader)
+
     eval_fn = make_eval_step(cfg, model, mesh=mesh)
 
     if cfg.DETECTION.ENABLE:

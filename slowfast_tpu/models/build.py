@@ -38,14 +38,54 @@ def init_model(model, cfg, rng=None, train=True):
         variables = model.init(rngs, inputs, boxes, train=train)
     elif cfg.MASK.ENABLE and not cfg.MASK.MAE_ON:
         # MaskFeat takes a loader-granularity mask (reference passes the
-        # collated mask into forward); init with a dummy at
-        # AUG.MASK_WINDOW_SIZE so the module tree traces.
-        t, h, w = cfg.AUG.MASK_WINDOW_SIZE
-        mask = jnp.zeros((2, t, h, w), jnp.float32)
+        # collated mask into forward); init with a dummy at the loader's
+        # mask geometry so the module tree traces.
+        if cfg.MVIT.PATCH_2D:
+            from slowfast_tpu.models.mvit import maskfeat_feature_size
+
+            fh = maskfeat_feature_size(cfg)
+            mask = jnp.zeros((2, fh, fh), jnp.float32)
+        else:
+            t, h, w = cfg.AUG.MASK_WINDOW_SIZE
+            mask = jnp.zeros((2, t, h, w), jnp.float32)
         variables = model.init(rngs, inputs, mask=mask, train=train)
     else:
         variables = model.init(rngs, inputs, train=train)
+    if cfg.MASK.ENABLE and cfg.MASK.SCALE_INIT_BY_DEPTH:
+        variables = _scale_init_by_depth(variables)
     return variables
+
+
+def _scale_init_by_depth(variables):
+    """Rescale residual-branch output projections by 1/sqrt(2*layer_id)
+    (reference masked.py fix_init_weight :149-163: trunk ``blocks`` attn
+    proj + mlp fc2; decoder blocks continue attn layer ids past the trunk
+    while fc2 restarts at 1)."""
+    import re
+
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    n_trunk = sum(
+        1 for k in params if re.fullmatch(r"blocks_\d+", k)
+    )
+
+    def rescale(block, layer_id, attn_layer_id):
+        if "attn" in block and "proj" in block["attn"]:
+            p = block["attn"]["proj"]
+            p["kernel"] = p["kernel"] / jnp.sqrt(2.0 * attn_layer_id)
+        if "mlp" in block and "fc2" in block["mlp"]:
+            p = block["mlp"]["fc2"]
+            p["kernel"] = p["kernel"] / jnp.sqrt(2.0 * layer_id)
+
+    for k in params:
+        m = re.fullmatch(r"blocks_(\d+)", k)
+        if m:
+            i = int(m.group(1)) + 1
+            rescale(params[k], i, i)
+        m = re.fullmatch(r"decoder_blocks_(\d+)", k)
+        if m:
+            i = int(m.group(1)) + 1
+            rescale(params[k], i, i + n_trunk)
+    return {**variables, "params": params}
 
 
 def dummy_inputs(cfg, batch_size=2, crop_size=None):

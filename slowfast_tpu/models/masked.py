@@ -59,7 +59,10 @@ class MaskMViT(nn.Module):
         x_raw = xs[0]
         B = x_raw.shape[0]
 
+        patch_2d = cfg.MVIT.PATCH_2D
         patch_stride = list(cfg.MVIT.PATCH_STRIDE)
+        if patch_2d:
+            patch_stride = [1] + patch_stride
         T0 = cfg.DATA.NUM_FRAMES // patch_stride[0]
         H0 = cfg.DATA.TRAIN_CROP_SIZE // patch_stride[1]
         W0 = cfg.DATA.TRAIN_CROP_SIZE // patch_stride[2]
@@ -68,15 +71,25 @@ class MaskMViT(nn.Module):
         depth_keep = cfg.MASK.PRETRAIN_DEPTH[-1] + 1
 
         x = x_raw.astype(dtype)
-        tokens, thw = PatchEmbed(
+        if patch_2d:
+            # Fold T into batch for a 2D stem (in1k image MaskFeat,
+            # reference use_2d_patch).
+            B0, T_in = x.shape[0], x.shape[1]
+            x = x.reshape((B0 * T_in,) + x.shape[2:])
+        tokens, shape = PatchEmbed(
             dim_out=embed_dim,
             kernel=cfg.MVIT.PATCH_KERNEL,
             stride=cfg.MVIT.PATCH_STRIDE,
             padding=cfg.MVIT.PATCH_PADDING,
+            conv_2d=patch_2d,
             dtype=dtype,
             name="patch_embed",
         )(x)
-        thw = list(thw)
+        if patch_2d:
+            tokens = tokens.reshape(B0, -1, embed_dim)
+            thw = [T_in, shape[0], shape[1]]
+        else:
+            thw = list(shape)
 
         if cfg.MASK.MAE_ON:
             return self._mae_forward(tokens, thw, x_raw, train)
@@ -140,7 +153,9 @@ class MaskMViT(nn.Module):
                 H0 // stride_acc[1],
                 W0 // stride_acc[2],
             )
-            feat_stride_sp = self.cfg.MVIT.PATCH_STRIDE[1] * stride_acc[1]
+            # [-2] = the H stride in both the 3D (t, h, w) and 2D (h, w)
+            # patch-stride layouts.
+            feat_stride_sp = self.cfg.MVIT.PATCH_STRIDE[-2] * stride_acc[1]
 
             if cfg.MASK.PRED_HOG:
                 labels = self._hog_labels(
@@ -325,7 +340,8 @@ class MaskMViT(nn.Module):
         if not cfg.MVIT.USE_ABS_POS:
             return None
         if cfg.MVIT.SEP_POS_EMBED:
-            T0 = cfg.DATA.NUM_FRAMES // list(cfg.MVIT.PATCH_STRIDE)[0]
+            t_stride = 1 if cfg.MVIT.PATCH_2D else list(cfg.MVIT.PATCH_STRIDE)[0]
+            T0 = cfg.DATA.NUM_FRAMES // t_stride
             HW = n_patches // T0
             pe_s = self.param("pos_embed_spatial", trunc02, (1, HW, C), jnp.float32)
             pe_t = self.param("pos_embed_temporal", trunc02, (1, T0, C), jnp.float32)

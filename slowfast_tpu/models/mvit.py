@@ -97,6 +97,19 @@ def mvit_block_schedule(cfg):
     return blocks
 
 
+def maskfeat_feature_size(cfg):
+    """H (= W) of the deepest PRETRAIN_DEPTH feature grid. 2D MaskFeat
+    masks are generated at this geometry (reference imagenet.py:175-183)."""
+    depth = max(cfg.MASK.PRETRAIN_DEPTH)
+    stride_h = 1
+    for i, blk in enumerate(mvit_block_schedule(cfg)):
+        if i > depth:
+            break
+        if blk["stride_q"]:
+            stride_h *= blk["stride_q"][1]
+    return cfg.DATA.TRAIN_CROP_SIZE // cfg.MVIT.PATCH_STRIDE[-2] // stride_h
+
+
 def get_3d_sincos_pos_embed(embed_dim, grid_size, t_size, cls_token=False):
     """Fixed 3D sin-cos positional embedding (reference models/utils.py:55-100)."""
     assert embed_dim % 4 == 0

@@ -226,10 +226,13 @@ class PatchEmbed(nn.Module):
     def __call__(self, x):
         # x: NTHWC (or NHWC when conv_2d).
         if self.conv_2d:
+            # [-2:]: the (h, w) tail of a 3-length (t, h, w) spec AND a
+            # 2-length image spec (in1k configs ship PATCH_KERNEL [16, 16];
+            # [1:] would silently drop the H entry and run a 1-D conv).
             kernel, stride, padding = (
-                self.kernel[1:],
-                self.stride[1:],
-                self.padding[1:],
+                self.kernel[-2:],
+                self.stride[-2:],
+                self.padding[-2:],
             )
             x = nn.Conv(
                 self.dim_out,

@@ -26,6 +26,9 @@ RECIPES = [
     ("configs/Kinetics/pytorchvideo/R2PLUS1D_16x4_R50.yaml", {}),
     ("configs/Kinetics/MVIT_B_16x4_CONV.yaml", {}),
     ("configs/ImageNet/REV_VIT_S.yaml", {}),
+    # 2D-patch image MViT (MVIT.PATCH_2D; PATCH_KERNEL is 2-length here —
+    # regression guard for the PatchEmbed conv_2d kernel slicing).
+    ("configs/masked_ssl/in1k_VIT_B_MaskFeat_FT.yaml", {}),
     ("configs/SSv2/SLOWFAST_16x8_R50.yaml", {}),
 ]
 

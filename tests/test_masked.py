@@ -66,6 +66,120 @@ def test_maskfeat_forward_and_masked_loss():
     assert np.isfinite(float(masked_loss(preds0, labels0)))
 
 
+def test_maskfeat_2d_image_forward():
+    """in1k image MaskFeat (MVIT.PATCH_2D): 2D stem, (B, h, w) loader mask
+    at the feature geometry, HOG targets on the single frame.
+    Reference: masked.py use_2d_patch paths + imagenet.py:170-206."""
+    cfg = _small(get_cfg())
+    cfg.merge_from_file("configs/masked_ssl/in1k_VIT_B_MaskFeat_PT.yaml")
+    _small(cfg)
+    cfg.DATA.NUM_FRAMES = 1
+    cfg.MVIT.EMBED_DIM = 32
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 2
+    cfg.MASK.PRETRAIN_DEPTH = [1]
+    cfg.MVIT.PATCH_KERNEL = [8, 8]
+    cfg.MVIT.PATCH_STRIDE = [8, 8]
+    cfg.MVIT.PATCH_PADDING = [0, 0]
+
+    from slowfast_tpu.models.masked import masked_loss
+    from slowfast_tpu.models.mvit import maskfeat_feature_size
+
+    fh = maskfeat_feature_size(cfg)
+    assert fh == 4  # 32px / patch 8, no q-pooling
+    model = build_model(cfg)
+    variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=True)
+
+    b = 2
+    inputs = [jax.random.normal(jax.random.PRNGKey(3), (b, 1, 32, 32, 3))]
+    rs = np.random.RandomState(0)
+    mask = jnp.asarray((rs.rand(b, fh, fh) > 0.5).astype(np.float32))
+    preds, gen_labels = model.apply(
+        variables, inputs, mask=mask, train=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(float(masked_loss(preds, gen_labels)))
+
+
+def test_imagenet_maskfeat_mask_geometry():
+    """The ImageNet loader's mask matches the model's feature grid and
+    respects MASK_RATIO (reference imagenet.py:179-183)."""
+    from slowfast_tpu.data.imagenet import _maskfeat_mask
+
+    cfg = _small(get_cfg())
+    cfg.merge_from_file("configs/masked_ssl/in1k_VIT_B_MaskFeat_PT.yaml")
+    _small(cfg)
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    m = _maskfeat_mask(cfg)
+    assert m.shape == (14, 14)
+    # Block masking overshoots at most one block beyond the target count.
+    target = round(14 * 14 * cfg.AUG.MASK_RATIO)
+    assert 0 < m.sum() <= target + (cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK or 196)
+
+
+def test_scale_init_by_depth():
+    """MASK.SCALE_INIT_BY_DEPTH rescales residual-branch projections by
+    1/sqrt(2*layer_id) (reference masked.py fix_init_weight :149-163)."""
+    def build_vars(scale):
+        cfg = _small(get_cfg())
+        cfg.merge_from_file("configs/masked_ssl/MVITv2_S_16x4_MaskFeat_PT.yaml")
+        _small(cfg)
+        cfg.AUG.MASK_WINDOW_SIZE = [2, 8, 8]
+        cfg.MVIT.DEPTH = 2
+        cfg.MVIT.DIM_MUL = [[1, 2.0]]
+        cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+        cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+        cfg.MASK.PRETRAIN_DEPTH = [1]
+        cfg.MASK.SCALE_INIT_BY_DEPTH = scale
+        model = build_model(cfg)
+        return init_model(model, cfg, rng=jax.random.PRNGKey(0), train=True)
+
+    base = build_vars(False)["params"]
+    scaled = build_vars(True)["params"]
+    for i in (0, 1):
+        want = np.asarray(base[f"blocks_{i}"]["attn"]["proj"]["kernel"])
+        got = np.asarray(scaled[f"blocks_{i}"]["attn"]["proj"]["kernel"])
+        np.testing.assert_allclose(got, want / np.sqrt(2.0 * (i + 1)), rtol=1e-6)
+
+
+def test_vis_mask_mae_reconstruction(tmp_path):
+    """VIS_MASK test mode writes (input | masked | reconstruction) videos
+    (reference test_net.py:124 + masked.py _mae_visualize :478-517)."""
+    import glob
+
+    cfg = _small(get_cfg())
+    cfg.merge_from_file("configs/masked_ssl/k400_VIT_B_16x4_MAE_PT.yaml")
+    _small(cfg)
+    cfg.MVIT.EMBED_DIM = 64
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 2
+    cfg.MASK.PRETRAIN_DEPTH = [1]
+    cfg.MASK.DECODER_EMBED_DIM = 32
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.AUG.MASK_RATIO = 0.5  # 0.9 leaves zero visible tokens at 2x2x2
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = True
+    cfg.TEST.DATASET = "syntheticvideo"
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.DATA.SYNTHETIC_SIZE = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.VIS_MASK.ENABLE = True
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    from slowfast_tpu.engine.tester import test as run_test
+
+    run_test(cfg)
+    vids = glob.glob(str(tmp_path / "vis_mask" / "vid" / "*.mp4"))
+    assert vids, "no reconstruction videos written"
+    import cv2
+
+    cap = cv2.VideoCapture(vids[0])
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape[1] == 3 * frame.shape[0]  # triptych layout
+
+
 def test_maskfeat_pretrain_to_finetune_checkpoint(tmp_path):
     """A MaskFeat pretrain checkpoint initializes the fine-tune MViT trunk.
 
