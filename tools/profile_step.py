@@ -1,135 +1,140 @@
-"""Profile one model's train step on the attached TPU and print an op-level
-cost breakdown (framework_op_stats via xprof).
+"""Per-op device-time profile of a training step.
 
-The reference has no profiler integration (SURVEY.md §5); this is the
-TPU-native equivalent of its manual timer triplets: capture a
-jax.profiler trace around N hot steps and reduce the xplane to per-op
-self-time, grouped by op category and by source line.
+The reference has no profiler integration (SURVEY.md §5: manual fvcore
+timers + `torch.cuda.synchronize`). The TPU equivalent captures an xplane
+trace of a few jitted train steps and prints the framework-op self-time
+table — the workflow every perf win in this repo came from.
 
 Usage:
-    python tools/profile_step.py configs/Kinetics/MVITv2_S_16x4.yaml [B]
+    python tools/profile_step.py --cfg configs/Kinetics/MVITv2_S_16x4.yaml \
+        [--batch 16] [--steps 3] [--out /tmp/xprof] \
+        [--opts TPU.COMPUTE_DTYPE bfloat16 ...]
+
+Prints the top ops by total device self-time, their HLO category, and the
+measured memory bandwidth (ops near the chip's HBM bandwidth are
+bandwidth-bound and already at speed of light; ops far below with large
+FLOP counts are the optimization targets).
 """
 
+import argparse
+import glob
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def main():
+# Honor an explicit JAX_PLATFORMS even when a sitecustomize hook has
+# prepended its own platform (profiling on the cpu backend for shape/
+# pipeline debugging: JAX_PLATFORMS=cpu).
+if os.environ.get("JAX_PLATFORMS"):
     import jax
 
-    cfg_path = sys.argv[1]
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    from bench import _build, _sf_inputs, _sync
+
+def parse_framework_op_stats(trace_dir, top_k=30):
+    """xplane.pb -> rows of (op, category, self_time_us, bw_GBps)."""
+    from xprof.convert.raw_to_tool_data import xspace_to_tool_data
+
+    planes = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    )
+    if not planes:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    data, _ = xspace_to_tool_data([planes[-1]], "framework_op_stats", {})
+    tables = json.loads(data)
+    if not isinstance(tables, list):
+        tables = [tables]
+    out = []
+    for table in tables:  # later tables are fallbacks, not merged (dups)
+        idx = {c["id"]: i for i, c in enumerate(table["cols"])}
+        if "host_or_device" not in idx:
+            continue
+        rows = {"Device": [], "Host": []}
+        for row in table["rows"]:
+            c = [cell.get("v") for cell in row["c"]]
+            side = c[idx["host_or_device"]]
+            rows.setdefault(side, []).append(
+                {
+                    "op": c[idx["operation"]],
+                    "category": c[idx["type"]],
+                    "total_self_us": float(c[idx["total_self_time"]] or 0.0),
+                    "bw_GBps": c[idx["measured_memory_bw"]],
+                    "bound_by": c[idx.get("bound_by", 0)],
+                }
+            )
+        # CPU-backend traces report compute Host-side (Device = IDLE only).
+        dev = [r for r in rows["Device"] if r["category"] != "IDLE"]
+        out = dev or [r for r in rows["Host"] if r["category"] != "IDLE"]
+        if out:
+            break
+    out.sort(key=lambda r: -r["total_self_us"])
+    return out[:top_k]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/xprof_step")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
+    args = ap.parse_args()
+
+    import jax
+
     from slowfast_tpu.config import get_cfg
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _build, _sf_inputs
+
     cfg = get_cfg()
-    cfg.merge_from_file(cfg_path)
+    cfg.merge_from_file(args.cfg)
     cfg.NUM_GPUS = 1
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    if os.environ.get("PROFILE_NO_MIXUP"):
-        cfg.MIXUP.ENABLE = False
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     state, step, rng = _build(cfg)
+    import jax.numpy as jnp
+
     batch = {
-        "inputs": _sf_inputs(cfg, B, random=True),
-        "labels": jax.random.randint(
-            jax.random.PRNGKey(2), (B,), 0, cfg.MODEL.NUM_CLASSES
-        ),
+        "inputs": _sf_inputs(cfg, args.batch, random=True),
+        "labels": jnp.zeros((args.batch,), jnp.int32),
     }
-    t0 = time.time()
-    for _ in range(3):
-        state, m = step(state, batch, rng)
-    _sync(m)
-    print(f"compiled+warm in {time.time()-t0:.0f}s", file=sys.stderr)
-    t0 = time.time()
-    for _ in range(10):
-        state, m = step(state, batch, rng)
-    _sync(m)
-    dt = time.time() - t0
-    print(f"rate: {10*B/dt:.2f} clips/s ({dt/10*1000:.1f} ms/step)")
+    if cfg.MASK.ENABLE and cfg.AUG.GEN_MASK_LOADER:
+        import numpy as np
 
-    logdir = os.environ.get("PROFILE_DIR", "/tmp/xprof_trace")
-    os.makedirs(logdir, exist_ok=True)
-    jax.profiler.start_trace(logdir)
-    for _ in range(3):
-        state, m = step(state, batch, rng)
-    _sync(m)
-    jax.profiler.stop_trace()
-    report(logdir)
+        from slowfast_tpu.data.kinetics import gen_mask
 
-
-def report(logdir, top=45):
-    import glob
-
-    xs = sorted(
-        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not xs:
-        print("no xplane captured", file=sys.stderr)
-        return
-    from xprof.convert import raw_to_tool_data as rtd
-
-    params = {"tqx": "out:csv;"}
-    csv_data, _ = rtd.xspace_to_tool_data([xs[-1]], "framework_op_stats", params)
-    if isinstance(csv_data, bytes):
-        csv_data = csv_data.decode()
-    import csv as csvmod
-    import io
-
-    rows = list(csvmod.DictReader(io.StringIO(csv_data)))
-    if not rows:
-        print(csv_data[:2000])
-        return
-    cols = rows[0].keys()
-    print("columns:", list(cols), file=sys.stderr)
-
-    def f(r, *names, default=0.0):
-        for n in names:
-            if n in r and r[n] not in ("", None):
-                try:
-                    return float(r[n])
-                except ValueError:
-                    pass
-        return default
-
-    device_rows = [
-        r for r in rows if "device" in (r.get("host_or_device") or "").lower()
-        or "Device" in (r.get("host_or_device") or "")
-    ] or rows
-    key_time = None
-    for cand in ("total_self_time_in_us", "self_time_us", "total_self_time",
-                 "avg_self_time_in_us"):
-        if cand in cols:
-            key_time = cand
-            break
-    device_rows.sort(key=lambda r: -f(r, key_time))
-    tot = sum(f(r, key_time) for r in device_rows)
-    print(f"\n== framework_op_stats (device, total {tot/1e3:.1f} ms) ==")
-    for r in device_rows[:top]:
-        t = f(r, key_time)
-        print(
-            f"{t/1e3:9.2f}ms {100*t/max(tot,1e-9):5.1f}%  "
-            f"{(r.get('category') or r.get('type') or ''):<22.22} "
-            f"{(r.get('operation') or r.get('op_name') or ''):<60.60} "
-            f"occ={r.get('occurrences','')}"
+        batch["mask"] = jnp.asarray(
+            np.stack([gen_mask(cfg) for _ in range(args.batch)]), jnp.float32
         )
-    # Category rollup
-    agg = {}
-    for r in device_rows:
-        c = r.get("category") or r.get("type") or "?"
-        agg[c] = agg.get(c, 0.0) + f(r, key_time)
-    print("\n== by category ==")
-    for c, t in sorted(agg.items(), key=lambda kv: -kv[1]):
-        print(f"{t/1e3:9.2f}ms {100*t/max(tot,1e-9):5.1f}%  {c}")
+
+    # Warm up (compile) outside the trace.
+    state, m = step(state, batch, rng)
+    float(m["loss"])  # force completion (block_until_ready is a no-op
+    #                   through tunneled runtimes)
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            state, m = step(state, batch, rng)
+        float(m["loss"])
+
+    try:
+        rows = parse_framework_op_stats(args.out, args.top)
+    except Exception as e:  # xprof optional — leave the raw trace usable
+        print(f"trace written to {args.out}; xprof parse failed: {e!r}")
+        return
+    total = sum(r["total_self_us"] for r in rows)
+    print(f"top {len(rows)} device ops over {args.steps} steps "
+          f"({total/1e3:.1f} ms listed):")
+    for r in rows:
+        bw = f"  {r['bw_GBps']:.0f} GB/s" if r["bw_GBps"] else ""
+        bb = f" [{r['bound_by']}]" if r.get("bound_by") not in (None, "Unknown") else ""
+        print(f"{r['total_self_us']/1e3:9.2f} ms  {r['category']:<22}"
+              f" {r['op'][:90]}{bw}{bb}")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--report":
-        report(sys.argv[2])
-    else:
-        main()
+    main()
