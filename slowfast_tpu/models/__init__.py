@@ -12,6 +12,11 @@ MODEL_REGISTRY.register(SlowFast, name="PTVSlowFast")
 MODEL_REGISTRY.register(X3D, name="PTVX3D")
 MODEL_REGISTRY.register(ResNet, name="PTVCSN")
 MODEL_REGISTRY.register(ResNet, name="PTVR2plus1D")
+# Model-zoo C2D variant without the post-s2 temporal max-pool. The reference
+# ships its config + Caffe2 weights (configs/Kinetics/c2/C2D_NOPOOL_8x8_R50.yaml,
+# MODEL_ZOO.md row 1) but registers no class for the name; here it is the
+# ResNet with pool1 forced to identity (video_models.py).
+MODEL_REGISTRY.register(ResNet, name="ResNet_nopool")
 
 
 def _register_late():

@@ -141,18 +141,18 @@ class MaskMViT(nn.Module):
             # Head drops the cls token before projecting (reference
             # head_helper.py MSSeparateHead.forward `x = x[:, 1:]`).
             feat = feats[d_i][:, s:]  # (B, N_d, C_d) grid tokens at that depth
-            # Feature geometry at this depth.
+            # Feature geometry at this depth: apply the pooling size formula
+            # ((size-1)//stride+1) per pooled block — plain division diverges
+            # from the real grid at odd sizes (e.g. 14 -> 7 -> 4 -> 2).
+            t_d, h_d, w_d = T0, H0, W0
             stride_acc = [1, 1, 1]
             for i in range(depth + 1):
-                if sched[i]["stride_q"]:
-                    stride_acc = [
-                        a * s for a, s in zip(stride_acc, sched[i]["stride_q"])
-                    ]
-            t_d, h_d, w_d = (
-                T0 // stride_acc[0],
-                H0 // stride_acc[1],
-                W0 // stride_acc[2],
-            )
+                sq = sched[i]["stride_q"]
+                if sq:
+                    t_d = (t_d - 1) // sq[0] + 1
+                    h_d = (h_d - 1) // sq[1] + 1
+                    w_d = (w_d - 1) // sq[2] + 1
+                    stride_acc = [a * s for a, s in zip(stride_acc, sq)]
             # [-2] = the H stride in both the 3D (t, h, w) and 2D (h, w)
             # patch-stride layouts.
             feat_stride_sp = self.cfg.MVIT.PATCH_STRIDE[-2] * stride_acc[1]
@@ -170,6 +170,7 @@ class MaskMViT(nn.Module):
             # Mask at this depth's granularity.
             m = mask_tok.reshape(B, T0, H0, W0)
             m = m[:, :: max(T0 // t_d, 1), :: max(H0 // h_d, 1), :: max(W0 // w_d, 1)]
+            m = m[:, :t_d, :h_d, :w_d]  # odd sizes: strided pick can overshoot
             m = m.reshape(B, -1)
             preds_labels.append((pred, labels, m))
 
@@ -190,6 +191,11 @@ class MaskMViT(nn.Module):
         hog = hog_features(frames, nbins=nbins, cell_sz=cell_sz)
         # (B*t_d, 3, nbins, Hc, Wc) -> group cells per feature patch.
         Hc, Wc = hog.shape[-2], hog.shape[-1]
+        assert Hc % h_d == 0 and Wc % w_d == 0, (
+            f"HOG cell grid {Hc}x{Wc} (crop/{cell_sz}) must tile the "
+            f"feature grid {h_d}x{w_d}; pick DATA.TRAIN_CROP_SIZE so "
+            f"crop/{cell_sz} is a multiple of the pooled token grid"
+        )
         cells_per = Hc // h_d
         hog = hog.reshape(B * t_d, 3, nbins, h_d, cells_per, w_d, cells_per)
         hog = hog.transpose(0, 3, 5, 1, 4, 6, 2)  # (B*t, h, w, 3, cp, cp, nbins)

@@ -350,6 +350,10 @@ class ResNet(nn.Module):
         norm = norm_builder(cfg)
         dtype = compute_dtype(cfg)
         pool_size = POOL1[cfg.MODEL.ARCH]
+        if cfg.MODEL.MODEL_NAME == "ResNet_nopool":
+            # Zoo C2D variant: no temporal pool1; the head pools the full
+            # temporal extent instead (NUM_FRAMES // 1).
+            pool_size = [[1, 1, 1]]
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         num_groups = cfg.RESNET.NUM_GROUPS
         w = cfg.RESNET.WIDTH_PER_GROUP
