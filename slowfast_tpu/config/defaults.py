@@ -603,6 +603,16 @@ _C.TPU = CfgNode(
         # (SURVEY.md §5: MViTv2-L 40x3 reaches N≈62k at stage 1).
         # Mutually exclusive with SPATIAL_PARTITIONS.
         SEQ_PARTITIONS=1,
+        # Tensor (head/hidden) partitioning for the MViT family: shard the
+        # attention q/k/v channel axis (head-major, so heads split across
+        # chips) and the MLP hidden axis over a second ("model") mesh axis.
+        # Megatron-style compute split: qkv/fc1 column-parallel, proj/fc2
+        # row-parallel with a GSPMD-inserted psum; params stay replicated
+        # (memory scaling comes from remat/Rev-MViT), so checkpoints and
+        # multigrid rebuilds are sharding-agnostic. Must divide
+        # MVIT.NUM_HEADS at every stage. Mutually exclusive with
+        # SPATIAL_PARTITIONS and SEQ_PARTITIONS.
+        TENSOR_PARTITIONS=1,
         # Compute dtype for matmuls/convs: "bfloat16" or "float32".
         COMPUTE_DTYPE="bfloat16",
         # Number of batches prefetched to device.

@@ -183,10 +183,15 @@ def make_train_step(cfg, model, tx, mesh=None, donate=True,
 
         def sharded_step(state, batch, rng):
             # Trace-time context: MViT-family blocks pin their (B, N, C)
-            # activations to the seq axis (no-op without one).
-            from slowfast_tpu.parallel.mesh import token_partitioning
+            # activations to the seq axis (token partitioning) or their
+            # channel axis to the model axis (tensor partitioning); both
+            # are no-ops without the corresponding mesh axis.
+            from slowfast_tpu.parallel.mesh import (
+                token_partitioning,
+                tp_partitioning,
+            )
 
-            with token_partitioning(mesh):
+            with token_partitioning(mesh), tp_partitioning(mesh):
                 return step_fn(state, batch, rng)
 
         return jax.jit(
@@ -223,9 +228,12 @@ def make_eval_step(cfg, model, mesh=None):
             batch_shardings["boxes"] = data
 
         def sharded_step(state, batch):
-            from slowfast_tpu.parallel.mesh import token_partitioning
+            from slowfast_tpu.parallel.mesh import (
+                token_partitioning,
+                tp_partitioning,
+            )
 
-            with token_partitioning(mesh):
+            with token_partitioning(mesh), tp_partitioning(mesh):
                 return step_fn(state, batch)
 
         return jax.jit(sharded_step, in_shardings=(None, batch_shardings))

@@ -323,6 +323,10 @@ class MultiScaleAttention(nn.Module):
             name=name,
         )
 
+        # Tensor partitioning: channels are head-major, so pinning them to
+        # the "model" mesh axis runs heads on separate chips (no-op off).
+        from slowfast_tpu.parallel.mesh import constrain_channels
+
         if self.pool_first:
             q = k = v = x
         else:
@@ -334,6 +338,11 @@ class MultiScaleAttention(nn.Module):
                 q = dense(self.dim_out, "q")(x)
                 k = dense(self.dim_out, "k")(x)
                 v = dense(self.dim_out, "v")(x)
+            q, k, v = (
+                constrain_channels(q),
+                constrain_channels(k),
+                constrain_channels(v),
+            )
 
         pool = lambda t, kern, strd, w: pool_tokens_flat(
             t, thw_shape, kern, strd, self.mode, self.has_cls_embed,
@@ -375,9 +384,9 @@ class MultiScaleAttention(nn.Module):
                 )
 
         if self.pool_first:
-            q = dense(self.dim_out, "q")(q)
-            k = dense(self.dim_out, "k")(k)
-            v = dense(self.dim_out, "v")(v)
+            q = constrain_channels(dense(self.dim_out, "q")(q))
+            k = constrain_channels(dense(self.dim_out, "k")(k))
+            v = constrain_channels(dense(self.dim_out, "v")(v))
 
         Nq, Nk = q.shape[1], k.shape[1]
         qh = q.reshape(B, Nq, nh, head_dim)

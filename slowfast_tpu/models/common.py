@@ -231,6 +231,11 @@ class Mlp(nn.Module):
             bias_init=self.bias_init,
             name="fc1",
         )(x)
+        # Tensor partitioning: the hidden axis shards over the "model" mesh
+        # axis (column-parallel fc1, row-parallel fc2 + psum); no-op off.
+        from slowfast_tpu.parallel.mesh import constrain_channels
+
+        x = constrain_channels(x)
         x = self.act_layer(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)

@@ -40,13 +40,20 @@ def create_mesh(cfg=None, devices=None) -> Mesh:
         devices = devices[:n]
     sp = int(cfg.TPU.SPATIAL_PARTITIONS) if cfg is not None else 1
     sq = int(cfg.TPU.SEQ_PARTITIONS) if cfg is not None else 1
-    if sp > 1 and sq > 1:
+    tp = int(cfg.TPU.TENSOR_PARTITIONS) if cfg is not None else 1
+    active = [
+        (size, axis)
+        for size, axis in ((sp, "spatial"), (sq, "seq"), (tp, "model"))
+        if size > 1
+    ]
+    if len(active) > 1:
         raise ValueError(
-            "TPU.SPATIAL_PARTITIONS and TPU.SEQ_PARTITIONS are mutually "
-            "exclusive (one model-parallel axis per mesh)"
+            "TPU.SPATIAL_PARTITIONS, TPU.SEQ_PARTITIONS and "
+            "TPU.TENSOR_PARTITIONS are mutually exclusive "
+            "(one model-parallel axis per mesh)"
         )
-    if sp > 1 or sq > 1:
-        size, axis = (sp, "spatial") if sp > 1 else (sq, "seq")
+    if active:
+        size, axis = active[0]
         if n % size:
             raise ValueError(
                 f"{axis} partitions={size} does not divide {n} devices"
@@ -116,6 +123,53 @@ def constrain_tokens(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(_TOKEN_MESH, P("data", "seq", None))
+    )
+
+
+# --- Tensor (head/hidden) partitioning ---------------------------------------
+#
+# Megatron-style compute split for the MViT family on a (data, model) mesh:
+# q/k/v channels are head-major (attention.py), so pinning the channel axis
+# to the "model" axis splits heads across chips; attention, the per-head
+# pool convs and pool LNs then run head-parallel with no communication, and
+# GSPMD inserts the single psum after the row-parallel proj/fc2 matmuls.
+# Params stay replicated (weights are sliced where needed by the
+# partitioner), keeping checkpoints and multigrid rebuilds sharding-
+# agnostic; parameter-memory scaling comes from remat/Rev-MViT instead.
+
+_TP_MESH = None
+
+
+class tp_partitioning:
+    """Context manager: activate channel-axis (head/hidden) sharding for
+    the MViT family while tracing a step on a mesh with a ``model`` axis."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = (
+            mesh if mesh is not None and "model" in mesh.axis_names else None
+        )
+
+    def __enter__(self):
+        global _TP_MESH
+        self._prev = _TP_MESH
+        if self.mesh is not None:
+            _TP_MESH = self.mesh
+        return self
+
+    def __exit__(self, *exc):
+        global _TP_MESH
+        _TP_MESH = self._prev
+        return False
+
+
+def constrain_channels(x):
+    """Pin the channel axis of a (B, N, C) activation to P(data, None,
+    model) when tensor partitioning is active; identity otherwise. Call
+    sites: q/k/v after the qkv projection and the MLP hidden activation."""
+    if _TP_MESH is None or x.ndim != 3:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_TP_MESH, P("data", None, "model"))
     )
 
 

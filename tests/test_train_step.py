@@ -213,6 +213,55 @@ def test_seq_partitioning_matches_data_only_mesh(tiny_cfg):
     np.testing.assert_allclose(losses[1], losses[4], rtol=3e-3)
 
 
+def test_tensor_partitioning_matches_data_only_mesh(tiny_cfg):
+    """2-D (data, model) mesh for the MViT family: attention q/k/v channels
+    (head-major, so heads split across chips) and the MLP hidden axis are
+    sharded; GSPMD inserts the psum after the row-parallel proj/fc2. The
+    step must be semantically identical to the 1-D data mesh."""
+    cfg = tiny_cfg
+    for k, v in {
+        "MODEL.MODEL_NAME": "MViT", "MODEL.ARCH": "mvit",
+        "MVIT.EMBED_DIM": 32, "MVIT.NUM_HEADS": 2, "MVIT.DEPTH": 4,
+        "MVIT.PATCH_KERNEL": [3, 7, 7], "MVIT.PATCH_STRIDE": [2, 4, 4],
+        "MVIT.PATCH_PADDING": [1, 3, 3],
+        "MVIT.DIM_MUL": [[1, 2.0], [3, 2.0]],
+        "MVIT.HEAD_MUL": [[1, 2.0], [3, 2.0]],
+        "MVIT.POOL_Q_STRIDE": [[1, 1, 2, 2], [3, 1, 2, 2]],
+        "MVIT.POOL_KVQ_KERNEL": [3, 3, 3],
+        "MVIT.POOL_KV_STRIDE_ADAPTIVE": [1, 4, 4],
+        "MVIT.MODE": "conv", "MVIT.CLS_EMBED_ON": True,
+        "MVIT.SEP_POS_EMBED": False, "MVIT.USE_ABS_POS": False,
+        "MVIT.REL_POS_SPATIAL": True, "MVIT.REL_POS_TEMPORAL": True,
+        "MVIT.RESIDUAL_POOLING": True, "MVIT.DIM_MUL_IN_ATT": True,
+        "MVIT.USE_MEAN_POOLING": True, "MVIT.DROPPATH_RATE": 0.0,
+        "MODEL.LOSS_FUNC": "cross_entropy",
+    }.items():
+        cfg.merge_from_list([k, v])
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import init_model
+
+    variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=True)
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+
+    losses = {}
+    for tp in (1, 2):
+        cfg.TPU.TENSOR_PARTITIONS = tp
+        mesh = create_mesh(cfg)
+        assert mesh.devices.size == 8
+        if tp > 1:
+            assert mesh.axis_names == ("data", "model")
+        state = create_train_state(cfg, model, tx, rng=jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+        batch = shard_batch(_batch(cfg, b=8), mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses[tp] = float(metrics["loss"])
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    # Same CPU-backend matmul accumulation noise bound as the seq test.
+    np.testing.assert_allclose(losses[1], losses[2], rtol=3e-3)
+
+
 def test_global_batch_stats_match_single_device(tiny_cfg):
     """BN stats under a sharded batch must equal the unsharded computation
     (GSPMD computes global-batch statistics)."""
