@@ -377,8 +377,21 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             "index": data,
             "time": data,
         }
+
+        def sharded_step(state, batch, rng):
+            # Same trace-time partitioning contexts as the supervised step:
+            # an MViT backbone under a (data, seq) or (data, model) mesh
+            # pins its token/channel axes (no-ops on a data-only mesh).
+            from slowfast_tpu.parallel.mesh import (
+                token_partitioning,
+                tp_partitioning,
+            )
+
+            with token_partitioning(mesh), tp_partitioning(mesh):
+                return step_fn(state, batch, rng)
+
         return jax.jit(
-            step_fn,
+            sharded_step,
             in_shardings=(None, batch_shardings, repl),
             donate_argnums=(0,) if donate else (),
         )
