@@ -286,7 +286,9 @@ def train_ssl(cfg):
         train_meter.log_epoch_stats(cur_epoch)
         train_meter.reset()
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
-            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+            cu.save_checkpoint(
+                cfg.OUTPUT_DIR, state, cur_epoch, cfg, background=True
+            )
         if cfg.CONTRASTIVE.KNN_ON and misc.is_eval_epoch(cfg, cur_epoch):
             # Online kNN probe against the instance memory bank
             # (reference train_net.py eval hooks + contrastive eval_knn).
@@ -301,6 +303,7 @@ def train_ssl(cfg):
                 logger.info(
                     "knn eval epoch %d: top1 %.2f%%", cur_epoch + 1, acc
                 )
+    cu.wait_for_saves()
     logger.info("ssl training done")
     return state
 
@@ -447,7 +450,11 @@ def train(cfg):
             )
 
         if is_checkp:
-            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+            # Background write: training proceeds while the serialized
+            # snapshot goes to disk (atomic tmp+rename in checkpoint.py).
+            cu.save_checkpoint(
+                cfg.OUTPUT_DIR, state, cur_epoch, cfg, background=True
+            )
         if is_eval:
             eval_epoch(
                 val_loader, state, eval_fn, val_meter, cur_epoch, cfg, mesh,
@@ -456,6 +463,7 @@ def train(cfg):
 
     if writer is not None:
         writer.close()
+    cu.wait_for_saves()
     logger.info("training done")
     return state
 

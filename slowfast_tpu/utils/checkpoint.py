@@ -75,35 +75,81 @@ def is_checkpoint_epoch(cfg, cur_epoch, multigrid_schedule=None):
     return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
 
 
-def save_checkpoint(path_to_job, state, epoch, cfg, scaler_state=None):
+_writer_thread = None
+
+
+def wait_for_saves():
+    """Block until a pending background checkpoint write completes."""
+    global _writer_thread
+    if _writer_thread is not None:
+        _writer_thread.join()
+        _writer_thread = None
+
+
+def save_checkpoint(
+    path_to_job, state, epoch, cfg, scaler_state=None, background=False
+):
     """Persist a TrainState (reference save_checkpoint :113-145).
 
     Master-process only; payload is msgpack for the pytrees + pickled
-    metadata.
+    metadata. The write is ATOMIC (tmp + os.replace): a crash mid-write
+    never leaves a truncated file for auto-resume to trip over.
+
+    ``background=True`` (the trainer's epoch loop) returns as soon as the
+    device→host copy is done and serializes + writes on a daemon thread —
+    the numpy snapshot is immutable, so training (including buffer
+    donation of the device state) proceeds while the disk write runs.
+    Call :func:`wait_for_saves` before process exit / reading the file.
     """
     if jax.process_index() != 0:
         return None
     os.makedirs(get_checkpoint_dir(path_to_job), exist_ok=True)
-    # Pull to host as numpy.
+    # Pull to host as numpy — must complete before the next step donates
+    # the device buffers; only serialization + disk IO are backgrounded.
     host_state = jax.device_get(state)
-    payload = {
-        "epoch": epoch,
-        "model_state": serialization.to_bytes(
-            {"params": host_state.params, "batch_stats": host_state.batch_stats}
-        ),
-        "optimizer_state": serialization.to_bytes(host_state.opt_state),
-        "step": int(host_state.step),
-        "cfg": cfg.dump(),
-        "format": "slowfast_tpu.msgpack.v1",
-    }
-    # SSL runs carry extra functional state (momentum-encoder EMA params,
-    # queues, memory banks) that must survive a resume (reference restores
-    # the full module state dict, train_net.py:532-543).
-    if getattr(host_state, "ssl_state", None) is not None:
-        payload["ssl_state"] = serialization.to_bytes(host_state.ssl_state)
     path = get_path_to_checkpoint(path_to_job, epoch + 1, cfg.TASK)
-    with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    cfg_dump = cfg.dump()
+    task = cfg.TASK
+
+    def write():
+        payload = {
+            "epoch": epoch,
+            "model_state": serialization.to_bytes(
+                {
+                    "params": host_state.params,
+                    "batch_stats": host_state.batch_stats,
+                }
+            ),
+            "optimizer_state": serialization.to_bytes(host_state.opt_state),
+            "step": int(host_state.step),
+            "cfg": cfg_dump,
+            "format": "slowfast_tpu.msgpack.v1",
+        }
+        # SSL runs carry extra functional state (momentum-encoder EMA
+        # params, queues, memory banks) that must survive a resume
+        # (reference restores the full state dict, train_net.py:532-543).
+        if getattr(host_state, "ssl_state", None) is not None:
+            payload["ssl_state"] = serialization.to_bytes(host_state.ssl_state)
+        # Dot-prefixed tmp name: invisible to get_last_checkpoint's
+        # "{task}_checkpoint"/"checkpoint" prefix scan until the rename.
+        tmp = os.path.join(
+            os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
+        )
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+
+    wait_for_saves()  # serialize writers; bounds snapshot memory to one
+    if background:
+        import threading
+
+        global _writer_thread
+        _writer_thread = threading.Thread(
+            target=write, name=f"ckpt-write-{task}-{epoch}", daemon=False
+        )
+        _writer_thread.start()
+    else:
+        write()
     return path
 
 

@@ -85,6 +85,45 @@ def test_native_checkpoint_roundtrip():
         )
 
 
+def test_background_save_is_atomic_and_loadable():
+    """background=True returns after the device->host snapshot; the disk
+    write runs on a writer thread with tmp+os.replace, so auto-resume can
+    never observe a truncated checkpoint. wait_for_saves() then makes the
+    file visible and identical to a synchronous save."""
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _tiny_cfg(tmp)
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        variables = init_model(model, cfg, rng=rng, train=True)
+        tx, _ = construct_optimizer(variables["params"], cfg, 10)
+        state = create_train_state(cfg, model, tx, rng=rng, variables=variables)
+
+        path = cu.save_checkpoint(tmp, state, epoch=2, cfg=cfg, background=True)
+        cu.wait_for_saves()
+        assert os.path.exists(path)
+        # No tmp litter, and the scan never matches dot-prefixed partials.
+        d = os.path.dirname(path)
+        assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+        assert cu.get_last_checkpoint(tmp) == path
+
+        fresh = create_train_state(cfg, model, tx, rng=jax.random.PRNGKey(9))
+        restored, epoch = cu.load_native_checkpoint(path, fresh)
+        assert epoch == 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # A crashed write (simulated partial tmp file) is invisible to the
+        # auto-resume scan.
+        with open(
+            os.path.join(d, ".checkpoint_epoch_00009.pyth.tmp"), "wb"
+        ) as f:
+            f.write(b"partial")
+        assert cu.get_last_checkpoint(tmp) == path
+
+
 def test_checkpoint_epoch_cadence():
     cfg = get_cfg()
     cfg.TRAIN.CHECKPOINT_PERIOD = 5
