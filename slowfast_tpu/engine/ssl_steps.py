@@ -369,11 +369,17 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         # batch sharded over the data axis (a single sharding broadcasts over
         # each pathway list), state/rng replicated. The trainer's SSL batch
         # always carries exactly these four keys.
+        from slowfast_tpu.parallel.mesh import clip_sharding
+
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # Rank-5 clips additionally shard H over a spatial axis, exactly
+        # as shard_batch places them (clip_sharding is P("data") on 1-D
+        # meshes, so this is the supervised step's scheme, steps.py:175).
+        clips = clip_sharding(mesh)
         batch_shardings = {
-            "inputs": data,
-            "inputs2": data,
+            "inputs": clips,
+            "inputs2": clips,
             "index": data,
             "time": data,
         }

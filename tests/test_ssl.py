@@ -85,6 +85,35 @@ def test_ssl_step_runs(ssl_type):
         assert not np.allclose(np.asarray(h), np.asarray(p))
 
 
+def test_ssl_step_runs_on_2d_mesh():
+    """SSL step on a (data, spatial) mesh: explicit batch shardings and the
+    partitioning contexts compose with the momentum-encoder/queue state
+    updates (all state replicated, batch sharded)."""
+    from slowfast_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg = _ssl_cfg("byol")
+    cfg.TPU.SPATIAL_PARTITIONS = 2
+    mesh = create_mesh(cfg)
+    assert mesh.axis_names == ("data", "spatial")
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    step = make_ssl_train_step(
+        cfg, model, tx, mesh=mesh, steps_per_epoch=10, donate=False
+    )
+    batch = _batch(cfg, b=8)
+    batch["time"] = jnp.zeros((8,), jnp.float32)
+    batch = shard_batch(batch, mesh)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_swav_queue_and_prototype_surgery():
     cfg = _ssl_cfg("swav")
     cfg.CONTRASTIVE.SWAV_QEUE_LEN = 8
