@@ -211,6 +211,49 @@ def test_detection_loss_invariant_to_padding():
     assert abs(losses[0] - losses[1]) < 1e-5, losses
 
 
+def test_detection_step_on_2d_mesh():
+    """Detection train step on a (data, spatial) mesh: H-sharded clips
+    feed an ROIAlign head (GSPMD gathers the sharded features under the
+    boxes); loss matches the unsharded step on the same batch."""
+    from slowfast_tpu.engine.steps import create_train_state, make_train_step
+    from slowfast_tpu.models import build_model
+    from slowfast_tpu.models.build import init_model
+    from slowfast_tpu.parallel.mesh import create_mesh, shard_batch
+    from slowfast_tpu.solver.optimizer import construct_optimizer
+
+    cfg = _tiny_det_cfg()
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = init_model(model, cfg, rng=rng, train=True)
+    tx, _ = construct_optimizer(variables["params"], cfg, 10)
+
+    rs = np.random.RandomState(3)
+    B, pad, n = 8, 4, 3
+    boxes = np.zeros((B, pad, 4), np.float32)
+    mask = np.zeros((B, pad), np.float32)
+    labels = np.zeros((B, pad, 4), np.float32)
+    boxes[:, :n] = rs.rand(B, n, 4).astype(np.float32) * 32
+    mask[:, :n] = 1.0
+    labels[:, :n] = rs.randint(0, 2, (B, n, 4)).astype(np.float32)
+    raw = {
+        "inputs": [jnp.asarray(rs.rand(B, 2, 32, 32, 3), jnp.float32)],
+        "labels": jnp.asarray(labels),
+        "boxes": jnp.asarray(boxes),
+        "box_mask": jnp.asarray(mask),
+    }
+
+    losses = {}
+    for sp in (1, 2):
+        cfg.TPU.SPATIAL_PARTITIONS = sp
+        mesh = create_mesh(cfg)
+        state = create_train_state(cfg, model, tx, rng=rng, variables=variables)
+        step = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+        _, m = step(state, shard_batch(dict(raw), mesh), rng)
+        losses[sp] = float(m["loss"])
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=3e-3)
+
+
 def test_e2e_detection_synthetic(tmp_path):
     """Full detection trainer loop on synthetic frames: padded-box loader ->
     jitted masked-loss step -> AVA val meter (mAP assets absent -> collects
