@@ -52,6 +52,31 @@ def create_mesh(cfg=None, devices=None) -> Mesh:
             "TPU.TENSOR_PARTITIONS are mutually exclusive "
             "(one model-parallel axis per mesh)"
         )
+    if tp > 1:
+        # Validate the promise in defaults.py/docs at startup: tensor
+        # partitioning is head parallelism for the MViT family, so tp must
+        # divide the head count of every block — otherwise channel shards
+        # cross head boundaries and the "communication-free" pool-conv/LN
+        # path silently degrades into cross-chip traffic.
+        name = cfg.MODEL.MODEL_NAME
+        if name not in ("MViT", "MaskMViT"):
+            raise ValueError(
+                f"TPU.TENSOR_PARTITIONS shards MViT-family heads; model "
+                f"{name!r} has no constraint sites and would waste a mesh "
+                f"axis (use SPATIAL_PARTITIONS for conv nets)"
+            )
+        from slowfast_tpu.models.mvit import mvit_block_schedule
+
+        bad = {
+            b["num_heads"]
+            for b in mvit_block_schedule(cfg)
+            if b["num_heads"] % tp
+        }
+        if bad:
+            raise ValueError(
+                f"TPU.TENSOR_PARTITIONS={tp} must divide the head count of "
+                f"every block; offending head counts: {sorted(bad)}"
+            )
     if active:
         size, axis = active[0]
         if n % size:
@@ -90,40 +115,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # is communicated to model code via this trace-time context (model modules
 # have no mesh argument; the step builders activate it around apply()).
 
-_TOKEN_MESH = None
+_ACTIVE_MESH = {}  # axis name ("seq" / "model") -> Mesh, set while tracing
 
 
-class token_partitioning:
-    """Context manager: activate token-axis sharding constraints for the
-    MViT family while tracing a step on a mesh with a ``seq`` axis."""
+class _axis_partitioning:
+    """Context manager: activate sharding constraints for one mesh axis
+    (trace-time; model modules have no mesh argument, the step builders
+    wrap apply() in these). No-op when the mesh lacks the axis."""
+
+    axis: str = ""
 
     def __init__(self, mesh: Optional[Mesh]):
         self.mesh = (
-            mesh if mesh is not None and "seq" in mesh.axis_names else None
+            mesh if mesh is not None and self.axis in mesh.axis_names else None
         )
 
     def __enter__(self):
-        global _TOKEN_MESH
-        self._prev = _TOKEN_MESH
+        self._prev = _ACTIVE_MESH.get(self.axis)
         if self.mesh is not None:
-            _TOKEN_MESH = self.mesh
+            _ACTIVE_MESH[self.axis] = self.mesh
         return self
 
     def __exit__(self, *exc):
-        global _TOKEN_MESH
-        _TOKEN_MESH = self._prev
+        if self._prev is None:
+            _ACTIVE_MESH.pop(self.axis, None)
+        else:
+            _ACTIVE_MESH[self.axis] = self._prev
         return False
+
+
+class token_partitioning(_axis_partitioning):
+    """Token-axis (seq) sharding for the MViT family."""
+
+    axis = "seq"
+
+
+def _constrain_axis(x, axis, spec):
+    mesh = _ACTIVE_MESH.get(axis)
+    if mesh is None or x.ndim != 3:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def constrain_tokens(x):
     """Pin a (B, N, C) token activation to P(data, seq, None) when token
     partitioning is active; identity otherwise (single-chip, data-only or
     spatial meshes)."""
-    if _TOKEN_MESH is None or x.ndim != 3:
-        return x
-    return jax.lax.with_sharding_constraint(
-        x, NamedSharding(_TOKEN_MESH, P("data", "seq", None))
-    )
+    return _constrain_axis(x, "seq", P("data", "seq", None))
 
 
 # --- Tensor (head/hidden) partitioning ---------------------------------------
@@ -137,40 +175,18 @@ def constrain_tokens(x):
 # partitioner), keeping checkpoints and multigrid rebuilds sharding-
 # agnostic; parameter-memory scaling comes from remat/Rev-MViT instead.
 
-_TP_MESH = None
 
+class tp_partitioning(_axis_partitioning):
+    """Channel-axis (head/hidden) sharding for the MViT family."""
 
-class tp_partitioning:
-    """Context manager: activate channel-axis (head/hidden) sharding for
-    the MViT family while tracing a step on a mesh with a ``model`` axis."""
-
-    def __init__(self, mesh: Optional[Mesh]):
-        self.mesh = (
-            mesh if mesh is not None and "model" in mesh.axis_names else None
-        )
-
-    def __enter__(self):
-        global _TP_MESH
-        self._prev = _TP_MESH
-        if self.mesh is not None:
-            _TP_MESH = self.mesh
-        return self
-
-    def __exit__(self, *exc):
-        global _TP_MESH
-        _TP_MESH = self._prev
-        return False
+    axis = "model"
 
 
 def constrain_channels(x):
     """Pin the channel axis of a (B, N, C) activation to P(data, None,
     model) when tensor partitioning is active; identity otherwise. Call
     sites: q/k/v after the qkv projection and the MLP hidden activation."""
-    if _TP_MESH is None or x.ndim != 3:
-        return x
-    return jax.lax.with_sharding_constraint(
-        x, NamedSharding(_TP_MESH, P("data", None, "model"))
-    )
+    return _constrain_axis(x, "model", P("data", None, "model"))
 
 
 def shard_batch(batch, mesh: Mesh):

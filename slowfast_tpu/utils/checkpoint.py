@@ -76,14 +76,23 @@ def is_checkpoint_epoch(cfg, cur_epoch, multigrid_schedule=None):
 
 
 _writer_thread = None
+_writer_error = None
 
 
 def wait_for_saves():
-    """Block until a pending background checkpoint write completes."""
-    global _writer_thread
+    """Block until a pending background checkpoint write completes.
+
+    Re-raises any exception the writer thread hit (disk full, permissions)
+    so a failed save can never masquerade as success — the synchronous
+    path raises to the caller, and this keeps that contract.
+    """
+    global _writer_thread, _writer_error
     if _writer_thread is not None:
         _writer_thread.join()
         _writer_thread = None
+    if _writer_error is not None:
+        err, _writer_error = _writer_error, None
+        raise err
 
 
 def save_checkpoint(
@@ -96,14 +105,19 @@ def save_checkpoint(
     never leaves a truncated file for auto-resume to trip over.
 
     ``background=True`` (the trainer's epoch loop) returns as soon as the
-    device→host copy is done and serializes + writes on a daemon thread —
+    device→host copy is done and serializes + writes on a writer thread —
     the numpy snapshot is immutable, so training (including buffer
     donation of the device state) proceeds while the disk write runs.
-    Call :func:`wait_for_saves` before process exit / reading the file.
+    Call :func:`wait_for_saves` before process exit / reading the file;
+    it re-raises writer failures. A previous write failure also surfaces
+    here, at the next save.
     """
     if jax.process_index() != 0:
         return None
     os.makedirs(get_checkpoint_dir(path_to_job), exist_ok=True)
+    # Join (and surface errors from) any previous writer BEFORE snapshotting
+    # so at most one host-state copy exists at a time.
+    wait_for_saves()
     # Pull to host as numpy — must complete before the next step donates
     # the device buffers; only serialization + disk IO are backgrounded.
     host_state = jax.device_get(state)
@@ -139,13 +153,20 @@ def save_checkpoint(
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
 
-    wait_for_saves()  # serialize writers; bounds snapshot memory to one
     if background:
         import threading
 
+        def guarded_write():
+            global _writer_error
+            try:
+                write()
+            except BaseException as e:  # surfaced by wait_for_saves()
+                _writer_error = e
+
         global _writer_thread
         _writer_thread = threading.Thread(
-            target=write, name=f"ckpt-write-{task}-{epoch}", daemon=False
+            target=guarded_write, name=f"ckpt-write-{task}-{epoch}",
+            daemon=False,
         )
         _writer_thread.start()
     else:

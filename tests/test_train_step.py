@@ -261,6 +261,18 @@ def test_tensor_partitioning_matches_data_only_mesh(tiny_cfg):
     # Same CPU-backend matmul accumulation noise bound as the seq test.
     np.testing.assert_allclose(losses[1], losses[2], rtol=3e-3)
 
+    # Startup validation: tp must divide every block's head count, and a
+    # non-MViT model has no constraint sites at all.
+    import pytest
+
+    cfg.TPU.TENSOR_PARTITIONS = 8  # heads are 2 -> 4 -> 8; 8 % 8 ok, 2 % 8 not
+    with pytest.raises(ValueError, match="head count"):
+        create_mesh(cfg)
+    cfg.TPU.TENSOR_PARTITIONS = 2
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    with pytest.raises(ValueError, match="MViT-family"):
+        create_mesh(cfg)
+
 
 def test_global_batch_stats_match_single_device(tiny_cfg):
     """BN stats under a sharded batch must equal the unsharded computation
