@@ -45,24 +45,24 @@ def _to_batch(inputs, labels, extra=None, dtype=jnp.float32):
     return batch
 
 
-def train_epoch(
-    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, rng,
-    writer=None,
-):
-    """One training epoch with ASYNC metric readback.
+def _drive_epoch(loader, state, step_fn, stage, consume, meter, cur_epoch,
+                 cfg, rng):
+    """Shared epoch driver: H2D/compute overlap + ASYNC metric readback.
 
-    Per-step ``float(m["loss"])`` would block the host on every device step,
-    serializing dispatch and compute (the reference overlaps them via
-    DataLoader workers). Instead, device metric handles are buffered and
-    only materialized every LOG_PERIOD iterations — the device runs ahead
-    while the host keeps feeding it. The NaN guard (reference
-    misc.check_nan_losses) runs on the same cadence.
+    Staging (device_put + shard) of batch N+1 runs on a background thread
+    while the step for batch N runs (the reference's pinned-memory
+    non_blocking copies, train_net.py:79-98). Per-step ``float(m["loss"])``
+    would block the host on every device step, serializing dispatch and
+    compute — instead device metric handles are buffered and only
+    materialized every LOG_PERIOD iterations; the NaN guard (reference
+    misc.check_nan_losses) runs on the same cadence. ``consume(it, m,
+    loss, bs)`` does the meter/writer bookkeeping for one materialized
+    step.
     """
-    data_size = len(train_loader)
+    from slowfast_tpu.parallel.prefetch import DevicePrefetcher
+
     log_period = max(int(cfg.LOG_PERIOD), 1)
     pending = []  # (cur_iter, device_metrics, global_batch_size)
-
-    is_ava_meter = isinstance(meter, AVAMeter)
 
     def flush():
         for it, m, bs in pending:
@@ -71,42 +71,13 @@ def train_epoch(
                 raise RuntimeError(
                     f"ERROR: Got NaN losses at epoch {cur_epoch} iter {it}"
                 )
-            if is_ava_meter:
-                # Detection training logs through AVAMeter(mode=train) for
-                # json-stats parity (reference train_net.py:596-601).
-                meter.update_stats(None, None, None, loss, float(m["lr"]))
-            else:
-                top1 = float(m["top1_err"]) if "top1_err" in m else None
-                top5 = float(m["top5_err"]) if "top5_err" in m else None
-                meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
+            consume(it, m, loss, bs)
             meter.log_iter_stats(cur_epoch, it)
-            if writer is not None:
-                scalars = {"Train/loss": loss, "Train/lr": float(m["lr"])}
-                if not is_ava_meter and "top1_err" in m:
-                    scalars["Train/Top1_err"] = float(m["top1_err"])
-                    scalars["Train/Top5_err"] = float(m["top5_err"])
-                writer.add_scalars(
-                    scalars, global_step=data_size * cur_epoch + it
-                )
         pending.clear()
-
-    # H2D/compute overlap: stage (device_put + shard) batch N+1 on a
-    # background thread while the step for batch N runs (the reference's
-    # pinned-memory non_blocking copies, train_net.py:79-98).
-    from slowfast_tpu.parallel.prefetch import DevicePrefetcher
-
-    def stage(args):
-        cur_iter, (inputs, labels, index, times, meta) = args
-        batch = _to_batch(inputs, labels, meta)
-        batch["epoch_exact"] = jnp.asarray(
-            cur_epoch + cur_iter / data_size, jnp.float32
-        )
-        batch = mesh_lib.shard_batch(batch, mesh)
-        return cur_iter, batch, labels.shape[0] * cfg.NUM_SHARDS
 
     meter.iter_tic()
     for cur_iter, batch, bs in DevicePrefetcher(
-        enumerate(train_loader), stage, depth=max(cfg.TPU.PREFETCH, 1)
+        enumerate(loader), stage, depth=max(cfg.TPU.PREFETCH, 1)
     ):
         meter.data_toc()
         state, m = step_fn(state, batch, rng)
@@ -119,6 +90,48 @@ def train_epoch(
     meter.log_epoch_stats(cur_epoch)
     meter.reset()
     return state
+
+
+def train_epoch(
+    train_loader, state, step_fn, meter, cur_epoch, cfg, mesh, rng,
+    writer=None,
+):
+    """One supervised training epoch (see _drive_epoch for the overlap /
+    async-readback scheme)."""
+    data_size = len(train_loader)
+    is_ava_meter = isinstance(meter, AVAMeter)
+
+    def consume(it, m, loss, bs):
+        if is_ava_meter:
+            # Detection training logs through AVAMeter(mode=train) for
+            # json-stats parity (reference train_net.py:596-601).
+            meter.update_stats(None, None, None, loss, float(m["lr"]))
+        else:
+            top1 = float(m["top1_err"]) if "top1_err" in m else None
+            top5 = float(m["top5_err"]) if "top5_err" in m else None
+            meter.update_stats(top1, top5, loss, float(m["lr"]), bs)
+        if writer is not None:
+            scalars = {"Train/loss": loss, "Train/lr": float(m["lr"])}
+            if not is_ava_meter and "top1_err" in m:
+                scalars["Train/Top1_err"] = float(m["top1_err"])
+                scalars["Train/Top5_err"] = float(m["top5_err"])
+            writer.add_scalars(
+                scalars, global_step=data_size * cur_epoch + it
+            )
+
+    def stage(args):
+        cur_iter, (inputs, labels, index, times, meta) = args
+        batch = _to_batch(inputs, labels, meta)
+        batch["epoch_exact"] = jnp.asarray(
+            cur_epoch + cur_iter / data_size, jnp.float32
+        )
+        batch = mesh_lib.shard_batch(batch, mesh)
+        return cur_iter, batch, labels.shape[0] * cfg.NUM_SHARDS
+
+    return _drive_epoch(
+        train_loader, state, step_fn, stage, consume, meter, cur_epoch, cfg,
+        rng,
+    )
 
 
 def eval_epoch(val_loader, state, eval_fn, meter, cur_epoch, cfg, mesh=None,
@@ -234,57 +247,31 @@ def train_ssl(cfg):
     )
     train_meter = TrainMeter(steps_per_epoch, cfg)
 
-    log_period = max(int(cfg.LOG_PERIOD), 1)
+    def consume(it, m, loss, bs):
+        train_meter.update_stats(None, None, loss, float(m["lr"]), bs)
+
+    def stage(args):
+        cur_iter, (views, labels, index, times, meta) = args
+        v1, v2 = views[0], views[1]
+        batch = {
+            "inputs": [jnp.asarray(x) for x in v1],
+            "inputs2": [jnp.asarray(x) for x in v2],
+            "index": jnp.asarray(index),
+            # Clip temporal position, consumed by the time-indexed 2d
+            # memory bank (reference forward(..., time=...) :358).
+            "time": jnp.asarray(
+                np.asarray(times, np.float32).reshape(len(index), -1)[:, 0]
+            ),
+        }
+        bs = len(index) * cfg.NUM_SHARDS
+        return cur_iter, mesh_lib.shard_batch(batch, mesh), bs
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
-        # Async metric readback, same scheme as train_epoch: buffer device
-        # metric handles and materialize every LOG_PERIOD iterations so the
-        # host never blocks the device on a per-step scalar readback.
-        pending = []
-
-        def flush():
-            for it, m, bs in pending:
-                loss = float(m["loss"])
-                if math.isnan(loss):
-                    raise RuntimeError(
-                        f"ERROR: Got NaN losses at epoch {cur_epoch} iter {it}"
-                    )
-                train_meter.update_stats(None, None, loss, float(m["lr"]), bs)
-                train_meter.log_iter_stats(cur_epoch, it)
-            pending.clear()
-
-        from slowfast_tpu.parallel.prefetch import DevicePrefetcher
-
-        def stage(args):
-            cur_iter, (views, labels, index, times, meta) = args
-            v1, v2 = views[0], views[1]
-            batch = {
-                "inputs": [jnp.asarray(x) for x in v1],
-                "inputs2": [jnp.asarray(x) for x in v2],
-                "index": jnp.asarray(index),
-                # Clip temporal position, consumed by the time-indexed 2d
-                # memory bank (reference forward(..., time=...) :358).
-                "time": jnp.asarray(
-                    np.asarray(times, np.float32).reshape(len(index), -1)[:, 0]
-                ),
-            }
-            return cur_iter, mesh_lib.shard_batch(batch, mesh), len(index)
-
-        train_meter.iter_tic()
-        for cur_iter, batch, bs in DevicePrefetcher(
-            enumerate(train_loader), stage, depth=max(cfg.TPU.PREFETCH, 1)
-        ):
-            train_meter.data_toc()
-            state, m = step_fn(state, batch, rng)
-            pending.append((cur_iter, m, bs * cfg.NUM_SHARDS))
-            train_meter.iter_toc()
-            if (cur_iter + 1) % log_period == 0:
-                flush()
-            train_meter.iter_tic()
-        flush()
-        train_meter.log_epoch_stats(cur_epoch)
-        train_meter.reset()
+        state = _drive_epoch(
+            train_loader, state, step_fn, stage, consume, train_meter,
+            cur_epoch, cfg, rng,
+        )
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(
                 cfg.OUTPUT_DIR, state, cur_epoch, cfg, background=True

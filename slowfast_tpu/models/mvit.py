@@ -101,13 +101,16 @@ def maskfeat_feature_size(cfg):
     """H (= W) of the deepest PRETRAIN_DEPTH feature grid. 2D MaskFeat
     masks are generated at this geometry (reference imagenet.py:175-183)."""
     depth = max(cfg.MASK.PRETRAIN_DEPTH)
-    stride_h = 1
+    # Apply each stage's pooled-size formula ((size-1)//stride + 1) in
+    # sequence: cumulative floor division diverges at odd intermediate
+    # sizes (e.g. 14 -> 7 -> 4, not 14//4 = 3).
+    size = cfg.DATA.TRAIN_CROP_SIZE // cfg.MVIT.PATCH_STRIDE[-2]
     for i, blk in enumerate(mvit_block_schedule(cfg)):
         if i > depth:
             break
         if blk["stride_q"]:
-            stride_h *= blk["stride_q"][1]
-    return cfg.DATA.TRAIN_CROP_SIZE // cfg.MVIT.PATCH_STRIDE[-2] // stride_h
+            size = (size - 1) // blk["stride_q"][1] + 1
+    return size
 
 
 def get_3d_sincos_pos_embed(embed_dim, grid_size, t_size, cls_token=False):

@@ -59,7 +59,14 @@ def create_mesh(cfg=None, devices=None) -> Mesh:
         # cross head boundaries and the "communication-free" pool-conv/LN
         # path silently degrades into cross-chip traffic.
         name = cfg.MODEL.MODEL_NAME
-        if name not in ("MViT", "MaskMViT"):
+        is_mvit_family = name in ("MViT", "MaskMViT") or (
+            # ContrastiveModel wraps a backbone chosen by MODEL.ARCH; its
+            # constraint sites exist iff that backbone is an MViT
+            # (ssl_steps.make_ssl_train_step activates tp_partitioning).
+            name == "ContrastiveModel"
+            and cfg.MODEL.ARCH == "mvit"
+        )
+        if not is_mvit_family:
             raise ValueError(
                 f"TPU.TENSOR_PARTITIONS shards MViT-family heads; model "
                 f"{name!r} has no constraint sites and would waste a mesh "

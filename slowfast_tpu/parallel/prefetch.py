@@ -31,22 +31,46 @@ class DevicePrefetcher:
     def __iter__(self):
         q = queue.Queue(maxsize=self._depth)
         stop = object()
+        closed = threading.Event()
+
+        def put(item):
+            # Bounded put that gives up once the consumer is gone, so an
+            # early break/exception in the consumer doesn't strand this
+            # thread holding device-resident batches.
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in self._iter:
-                    q.put(self._stage(item))
+                    if not put(self._stage(item)):
+                        return
             except BaseException as e:  # noqa: BLE001 — surfaced below
-                q.put(e)
+                put(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            closed.set()
+            # Drop staged batches so their device buffers free promptly.
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

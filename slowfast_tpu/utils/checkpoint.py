@@ -223,9 +223,28 @@ def load_native_checkpoint(path, state, load_opt=True):
         ssl_state = dict(state.ssl_state)
         for key, template in state.ssl_state.items():
             if key in raw:
-                ssl_state[key] = serialization.from_state_dict(
-                    template, raw[key]
-                )
+                restored = serialization.from_state_dict(template, raw[key])
+                # Leaf shapes must match the template: memory banks are
+                # sized to the dataset (trainer auto-resizes
+                # CONTRASTIVE.LENGTH), and a stale-sized bank would be
+                # silently mis-indexed by jit's clamped OOB gathers.
+                t_shapes = [
+                    np.shape(x) for x in jax.tree_util.tree_leaves(template)
+                ]
+                r_shapes = [
+                    np.shape(x) for x in jax.tree_util.tree_leaves(restored)
+                ]
+                if t_shapes != r_shapes:
+                    logger.warning(
+                        "checkpoint ssl_state[%r] shapes %s do not match "
+                        "the current run's %s (dataset size changed?); "
+                        "keeping fresh init",
+                        key,
+                        r_shapes[:4],
+                        t_shapes[:4],
+                    )
+                    continue
+                ssl_state[key] = restored
             else:
                 logger.warning(
                     "checkpoint ssl_state has no %r; keeping fresh init", key

@@ -117,6 +117,23 @@ def test_imagenet_maskfeat_mask_geometry():
     assert 0 < m.sum() <= target + (cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK or 196)
 
 
+def test_maskfeat_feature_size_pooled_odd_grid():
+    """The pooled feature grid applies each stage's ((size-1)//stride + 1)
+    in sequence: 14 -> 7 -> 4 under two stride-2 q-pool stages, where
+    cumulative floor division (14 // 4 = 3) diverges (the same formula
+    masked.py uses for its alignment assert)."""
+    from slowfast_tpu.models.mvit import maskfeat_feature_size
+
+    cfg = _small(get_cfg())
+    cfg.merge_from_file("configs/masked_ssl/in1k_VIT_B_MaskFeat_PT.yaml")
+    _small(cfg)
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MVIT.DEPTH = 4
+    cfg.MASK.PRETRAIN_DEPTH = [3]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [3, 1, 2, 2]]
+    assert maskfeat_feature_size(cfg) == 4
+
+
 def test_scale_init_by_depth():
     """MASK.SCALE_INIT_BY_DEPTH rescales residual-branch projections by
     1/sqrt(2*layer_id) (reference masked.py fix_init_weight :149-163)."""

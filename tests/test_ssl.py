@@ -114,6 +114,60 @@ def test_ssl_step_runs_on_2d_mesh():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_ssl_step_tensor_partitioning_mvit_backbone():
+    """SSL with an MViT backbone under a (data, model) mesh: create_mesh
+    accepts the ContrastiveModel + mvit combination, make_ssl_train_step's
+    tp_partitioning context activates the backbone's channel constraints,
+    and the loss matches the data-only mesh (CPU matmul noise bound)."""
+    from slowfast_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg = _ssl_cfg("simclr")
+    cfg.MODEL.ARCH = "mvit"
+    cfg.CONTRASTIVE.T = 0.1
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.POOL_Q_STRIDE = []
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.MODE = "conv"
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.USE_MEAN_POOLING = True
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = False
+    cfg.MVIT.REL_POS_TEMPORAL = False
+
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+
+    losses = {}
+    for tp in (1, 2):
+        cfg.TPU.TENSOR_PARTITIONS = tp
+        mesh = create_mesh(cfg)
+        if tp > 1:
+            assert mesh.axis_names == ("data", "model")
+        state = create_ssl_train_state(cfg, model, tx, rng=rng)
+        step = make_ssl_train_step(
+            cfg, model, tx, mesh=mesh, steps_per_epoch=10, donate=False
+        )
+        batch = _batch(cfg, b=8)
+        batch["time"] = jnp.zeros((8,), jnp.float32)
+        batch = shard_batch(batch, mesh)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses[tp] = float(m["loss"])
+    assert np.isfinite(losses[1]) and np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=3e-3)
+
+
 def test_swav_queue_and_prototype_surgery():
     cfg = _ssl_cfg("swav")
     cfg.CONTRASTIVE.SWAV_QEUE_LEN = 8

@@ -272,6 +272,15 @@ def test_tensor_partitioning_matches_data_only_mesh(tiny_cfg):
     cfg.MODEL.MODEL_NAME = "ResNet"
     with pytest.raises(ValueError, match="MViT-family"):
         create_mesh(cfg)
+    # ContrastiveModel wrapping an MViT backbone has constraint sites
+    # (ssl_steps activates tp_partitioning) and must pass the gate …
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "mvit"
+    assert create_mesh(cfg).axis_names == ("data", "model")
+    # … but not with a conv backbone.
+    cfg.MODEL.ARCH = "slowfast"
+    with pytest.raises(ValueError, match="MViT-family"):
+        create_mesh(cfg)
 
 
 def test_global_batch_stats_match_single_device(tiny_cfg):

@@ -61,7 +61,9 @@ def parse_framework_op_stats(trace_dir, top_k=30):
                     "category": c[idx["type"]],
                     "total_self_us": float(c[idx["total_self_time"]] or 0.0),
                     "bw_GBps": c[idx["measured_memory_bw"]],
-                    "bound_by": c[idx.get("bound_by", 0)],
+                    "bound_by": (
+                        c[idx["bound_by"]] if "bound_by" in idx else None
+                    ),
                 }
             )
         # CPU-backend traces report compute Host-side (Device = IDLE only).
