@@ -280,6 +280,86 @@ def bench_maskfeat():
     return sps * B
 
 
+def bench_multigrid():
+    """Long-cycle multigrid per-epoch speedup — the reference's only
+    published speed claim ("about 3-6x faster", MODEL_ZOO.md:41-42,
+    projects/multigrid).
+
+    Measures the train-step rate at each long-cycle (B, T, S) shape of the
+    SLOWFAST_8x8_R50_stepwise_multigrid recipe (per-chip batch slice of
+    the 8-GPU recipe) and reports the schedule-weighted wall-clock
+    speedup for one pass over the data vs training every epoch at the
+    base shape. Protocol notes: long-cycle shapes only (short-cycle adds
+    3x compiles for a second-order effect); BN stays plain batchnorm (the
+    schedule's sub/sync switches change stats bookkeeping, not conv
+    cost); the model is rebuilt per shape exactly as the real trainer's
+    long-cycle rebuild does (engine/trainer.py multigrid path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slowfast_tpu.config import get_cfg
+    from slowfast_tpu.utils.multigrid import MultigridSchedule
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs/Kinetics/SLOWFAST_8x8_R50_stepwise_multigrid.yaml",
+        )
+    )
+    cfg.NUM_GPUS = 1
+    cfg.NUM_SHARDS = 1
+    cfg.TRAIN.BATCH_SIZE = int(os.environ.get("BENCH_MG_BATCH", "8"))
+    cfg.MULTIGRID.SHORT_CYCLE = False
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.BN.USE_PRECISE_STATS = False
+    mg = MultigridSchedule()
+    cfg = mg.init_multigrid(cfg)
+
+    # The schedule repeats the same shapes across LR steps: dedup by
+    # (b_factor, T, S) and accumulate each shape's epoch allocation.
+    epochs_by_shape = {}
+    prev = 0
+    for _step_index, (bf, t, s), cum in mg.schedule:
+        key = (int(bf), int(t), int(s))
+        epochs_by_shape[key] = epochs_by_shape.get(key, 0) + (cum - prev)
+        prev = cum
+
+    b0 = cfg.MULTIGRID.DEFAULT_B
+    base_key = (1, cfg.MULTIGRID.DEFAULT_T, cfg.MULTIGRID.DEFAULT_S)
+    assert base_key in epochs_by_shape  # fine-tune phase runs at base shape
+    rates = {}
+    for bf, t, s in epochs_by_shape:
+        c = cfg.clone()
+        c.DATA.NUM_FRAMES = t
+        c.DATA.TRAIN_CROP_SIZE = s
+        c.TRAIN.BATCH_SIZE = bf * b0
+        state, step, rng = _build(c)
+        B = c.TRAIN.BATCH_SIZE
+        batch = {
+            "inputs": _sf_inputs(c, B, random=True),
+            "labels": jax.random.randint(
+                jax.random.PRNGKey(2), (B,), 0, c.MODEL.NUM_CLASSES
+            ),
+        }
+        print(f"bench: multigrid B={B} T={t} S={s}...", file=sys.stderr, flush=True)
+        sps = _time_steps(state, step, batch, rng, n=8, warmup=2)
+        rates[(bf, t, s)] = sps * B  # clips/s at this shape
+        del state, step, batch
+
+    # Per-epoch wall time ~ dataset_clips / rate; the dataset size cancels
+    # in the ratio. t_base trains the same epoch budget at the base shape.
+    total_epochs = sum(epochs_by_shape.values())
+    t_mg = sum(e / rates[k] for k, e in epochs_by_shape.items())
+    t_base = total_epochs / rates[base_key]
+    shape_rates = {
+        f"B{bf * b0}_T{t}_S{s}": round(r, 1)
+        for (bf, t, s), r in sorted(rates.items())
+    }
+    return t_base / t_mg, shape_rates
+
+
 def bench_eval():
     """Flagship eval-side numbers (BASELINE.json metric is "train + eval
     ...; p50 clip latency"): jitted test-mode forward (eval act+mean head
@@ -518,6 +598,15 @@ def main():
             extra["maskfeat_pt_train_clips_per_sec"] = round(mk, 2)
         except Exception as e:
             extra["maskfeat_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_MULTIGRID"):
+        try:
+            mgs, shape_rates = bench_multigrid()
+            # Reference's published claim for this schedule: "about 3-6x
+            # faster" training (MODEL_ZOO.md:41-42).
+            extra["multigrid_long_cycle_speedup"] = round(mgs, 2)
+            extra["multigrid_shape_clips_per_sec"] = shape_rates
+        except Exception as e:
+            extra["multigrid_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_EVAL"):
         try:
             ev, p50 = bench_eval()

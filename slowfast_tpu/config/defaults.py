@@ -38,12 +38,23 @@ _C.CONTRASTIVE = CfgNode(
         MLP_DIM=2048,
         BN_MLP=False,
         BN_SYNC_MLP=False,
+        # Shuffle-BN is omitted by design: global-batch BN under GSPMD
+        # removes the per-GPU stats leakage it works around (see
+        # models/batchnorm.py). Accepted for config compatibility.
         LOCAL_SHUFFLE_BN=True,
         MOCO_MULTI_VIEW_QUEUE=False,
         DELTA_CLIPS_MIN=-math.inf,
         DELTA_CLIPS_MAX=math.inf,
         PREDICTOR_DEPTHS=[],
+        # Sequential per-clip forward/backward is a CUDA memory
+        # workaround (reference contrastive.py:1058-1100); the joint
+        # jitted step computes the same total gradient — use
+        # MODEL.ACT_CHECKPOINT for the memory relief instead.
         SEQUENTIAL=False,
+        # SimCLR negatives always span the GLOBAL batch inside the
+        # sharded jit (engine/ssl_steps.py NT-Xent over 2B rows) — the
+        # True semantics; False (local-only negatives) is a DDP
+        # process-boundary notion with no SPMD equivalent.
         SIMCLR_DIST_ON=True,
         SWAV_QEUE_LEN=0,
         KNN_ON=True,
@@ -82,6 +93,8 @@ _C.TRAIN = CfgNode(
         CHECKPOINT_INFLATE=False,
         CHECKPOINT_EPOCH_RESET=False,
         CHECKPOINT_CLEAR_NAME_PATTERN=(),
+        # AMP maps to TPU.COMPUTE_DTYPE=bfloat16 (fp32 params, bf16
+        # compute, no loss scaler needed on TPU).
         MIXED_PRECISION=False,
         CHECKPOINT_IN_INIT=False,
     )
@@ -100,7 +113,7 @@ _C.AUG = CfgNode(
         RE_PROB=0.25,
         RE_MODE="pixel",
         RE_COUNT=1,
-        RE_SPLIT=False,
+        RE_SPLIT=False,  # dead in the reference too (never read)
         GEN_MASK_LOADER=False,
         MASK_TUBE=False,
         MASK_FRAMES=False,
@@ -151,7 +164,7 @@ _C.RESNET = CfgNode(
         TRANS_FUNC="bottleneck_transform",
         NUM_GROUPS=1,
         WIDTH_PER_GROUP=64,
-        INPLACE_RELU=True,
+        INPLACE_RELU=True,  # memory note for torch; meaningless under XLA
         STRIDE_1X1=False,
         ZERO_INIT_FINAL_BN=False,
         ZERO_INIT_FINAL_CONV=False,
@@ -213,6 +226,8 @@ _C.MODEL = CfgNode(
         ACT_CHECKPOINT=False,
         DETACH_FINAL_FC=False,
         FROZEN_BN=False,
+        # Gradient-compression hook (DDP comm); XLA collectives run in
+        # the compute dtype already.
         FP16_ALLREDUCE=False,
     )
 )
@@ -364,7 +379,7 @@ _C.DATA = CfgNode(
         # Size of the synthetic dataset (0 = default sizing) — TPU-native
         # extension for input-free integration tests and benchmarks.
         SYNTHETIC_SIZE=0,
-        IN22K_TRAINVAL=False,
+        IN22K_TRAINVAL=False,  # dead in the reference too (never read)
     )
 )
 
@@ -377,7 +392,7 @@ _C.SOLVER = CfgNode(
         LR_POLICY="cosine",
         COSINE_END_LR=0.0,
         GAMMA=0.1,
-        STEP_SIZE=1,
+        STEP_SIZE=1,  # dead in the reference too (never read)
         STEPS=[],
         LRS=[],
         MAX_EPOCH=300,
@@ -385,7 +400,7 @@ _C.SOLVER = CfgNode(
         DAMPENING=0.0,
         NESTEROV=True,
         WEIGHT_DECAY=1e-4,
-        WARMUP_FACTOR=0.1,
+        WARMUP_FACTOR=0.1,  # dead in the reference too (never read)
         WARMUP_EPOCHS=0.0,
         WARMUP_START_LR=0.01,
         OPTIMIZING_METHOD="sgd",
@@ -547,6 +562,9 @@ _C.DEMO = CfgNode(
         INPUT_VIDEO="",
         DISPLAY_WIDTH=0,
         DISPLAY_HEIGHT=0,
+        # The person detector is a torchvision faster-rcnn loaded from
+        # local weights (visualization/demo.py PersonDetector) — the
+        # detectron2 cfg name is accepted for config compatibility.
         DETECTRON2_CFG="COCO-Detection/faster_rcnn_R_50_FPN_3x.yaml",
         DETECTRON2_WEIGHTS="",
         DETECTRON2_THRESH=0.9,
@@ -554,6 +572,8 @@ _C.DEMO = CfgNode(
         OUTPUT_FILE="",
         OUTPUT_FPS=-1,
         INPUT_FORMAT="BGR",
+        # Annotation drawing runs at native frame resolution here;
+        # accepted for config compatibility.
         CLIP_VIS_SIZE=10,
         NUM_VIS_INSTANCES=2,
         PREDS_BOXES="",
@@ -674,6 +694,35 @@ def assert_and_infer_cfg(cfg):
         cfg.SOLVER.WARMUP_START_LR *= cfg.NUM_SHARDS
         cfg.SOLVER.COSINE_END_LR *= cfg.NUM_SHARDS
     assert cfg.SHARD_ID < cfg.NUM_SHARDS
+    # Loud failures for reference MASK modes no shipped recipe uses and
+    # this build does not implement (silent divergence would be worse).
+    assert cfg.MASK.HEAD_TYPE in ("separate", "separate_xformer"), (
+        cfg.MASK.HEAD_TYPE
+    )
+    if cfg.MASK.ENABLE:
+        if cfg.MASK.HEAD_TYPE == "separate_xformer" and not cfg.MASK.MAE_ON:
+            raise NotImplementedError(
+                "separate_xformer head is implemented as the MAE decoder "
+                "(models/masked.py); MaskFeat uses HEAD_TYPE=separate"
+            )
+        if cfg.MASK.MAE_ON and not cfg.MASK.MAE_RND_MASK:
+            raise NotImplementedError(
+                "MAE with loader-provided masks (MAE_RND_MASK=False) is not "
+                "implemented; every reference MAE recipe sets MAE_RND_MASK"
+            )
+        if not cfg.MASK.MAE_ON and cfg.MASK.MAE_RND_MASK:
+            raise NotImplementedError(
+                "MaskFeat with on-device random masking is not implemented; "
+                "masks come from the loader (data/kinetics.py gen_mask)"
+            )
+        for k in ("PER_FRAME_MASKING", "DECODER_SEP_POS_EMBED"):
+            if getattr(cfg.MASK, k):
+                raise NotImplementedError(f"MASK.{k} is not implemented")
+        if list(cfg.MASK.DEC_KV_KERNEL) or list(cfg.MASK.DEC_KV_STRIDE):
+            raise NotImplementedError(
+                "decoder KV pooling (MASK.DEC_KV_KERNEL/STRIDE) is not "
+                "implemented; the MAE decoder attends over all tokens"
+            )
     return cfg
 
 

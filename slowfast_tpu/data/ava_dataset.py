@@ -13,6 +13,14 @@ logger = logging_utils.get_logger(__name__)
 @DATASET_REGISTRY.register(name="Ava")
 class Ava:
     def __init__(self, cfg, split):
+        if cfg.AVA.IMG_PROC_BACKEND != "cv2":
+            # The torch tensor-transform backend is not implemented: the
+            # cv2 path is the reference default and the only one its AVA
+            # recipes use (reference ava_dataset.py:387-389).
+            raise NotImplementedError(
+                f"AVA.IMG_PROC_BACKEND={cfg.AVA.IMG_PROC_BACKEND!r}; "
+                "only 'cv2' is supported"
+            )
         self.cfg = cfg
         self._split = split
         self._sample_rate = cfg.DATA.SAMPLING_RATE

@@ -118,6 +118,8 @@ def decode_native(
     max_spatial_scale=0,
     use_offset=False,
     n_views=1,
+    min_delta=-math.inf,
+    max_delta=math.inf,
 ):
     """Exact PTS-window decode via the native FFmpeg service.
 
@@ -144,12 +146,27 @@ def decode_native(
     clip_size = sampling_rate * num_frames / target_fps * fps
     windows = []
     fracs = []
-    for _ in range(max(n_views, 1)):
-        s, e, frac = get_start_end_idx(
-            total, clip_size, clip_idx, num_clips, use_offset=use_offset
+    if n_views > 1 and clip_idx == -1 and (
+        min_delta > -math.inf or max_delta < math.inf
+    ):
+        # Pairwise temporal-gap constraints between SSL views
+        # (CONTRASTIVE.DELTA_CLIPS_MIN/MAX; reference kinetics.py:337 ->
+        # get_multiple_start_end_idx retry sampling).
+        se = get_multiple_start_end_idx(
+            total, [clip_size] * n_views, clip_idx, num_clips,
+            min_delta=min_delta, max_delta=max_delta,
         )
-        windows.append((s, e))
-        fracs.append(frac)
+        span = max(total - clip_size, 0)
+        for s, e in se:
+            windows.append((s, e))
+            fracs.append(s / span if span != 0 else 0.0)
+    else:
+        for _ in range(max(n_views, 1)):
+            s, e, frac = get_start_end_idx(
+                total, clip_size, clip_idx, num_clips, use_offset=use_offset
+            )
+            windows.append((s, e))
+            fracs.append(frac)
 
     view = native_video.decode_windows_view(
         source, windows, short_side=max_spatial_scale

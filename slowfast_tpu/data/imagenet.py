@@ -42,6 +42,22 @@ class Imagenet:
             )
 
     def _construct_imdb(self):
+        if self.cfg.DATA.PATH_TO_PRELOAD_IMDB:
+            # Preloaded imdb: {mode}.json with [{im_path, class}] entries
+            # (reference imagenet.py:41-56) — skips the directory walk for
+            # huge datasets on slow filesystems.
+            import json
+
+            path = os.path.join(
+                self.cfg.DATA.PATH_TO_PRELOAD_IMDB, f"{self.mode}.json"
+            )
+            with open(path) as f:
+                self._imdb = json.load(f)
+            self._class_ids = {}
+            logger.info(
+                "Loaded imagenet imdb (size: %d) from %s", len(self._imdb), path
+            )
+            return
         split_path = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, self.mode)
         assert os.path.exists(split_path), f"{split_path} not found"
         classes = sorted(

@@ -6,6 +6,7 @@ failures retry with random replacement (<=100 tries). ``DATA.DUMMY_LOAD``
 caches one synthetic item for input-pipeline-free benchmarking.
 """
 
+import math
 import os
 import random
 
@@ -146,6 +147,11 @@ class Kinetics:
         # jitter transform would use (reference transform.py:48-98), so the
         # spatial statistics are unchanged; the later jitter becomes a
         # no-op (or the sole upscale when the source is smaller).
+        target_fps = cfg.DATA.TARGET_FPS
+        if self.mode == "train" and cfg.DATA.TRAIN_JITTER_FPS > 0.0:
+            # FPS jitter augmentation: vary the effective clip duration per
+            # sample (reference kinetics.py:316-317).
+            target_fps += random.uniform(0.0, cfg.DATA.TRAIN_JITTER_FPS)
         decode_at_scale = 0
         if (
             self.mode == "train"
@@ -167,7 +173,7 @@ class Kinetics:
                 cfg.DATA.NUM_FRAMES,
                 clip_idx=temporal_sample_index,
                 num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
-                target_fps=cfg.DATA.TARGET_FPS,
+                target_fps=target_fps,
                 max_spatial_scale=(
                     cfg.DATA.DECODING_SHORT_SIZE
                     if self.mode in ["test"]
@@ -207,6 +213,13 @@ class Kinetics:
             # Falls back to per-view decode.
             extra_views = []
             extra_times = []
+            # Pairwise temporal-gap constraints between views
+            # (CONTRASTIVE.DELTA_CLIPS_MIN/MAX, reference kinetics.py:337).
+            # When constrained, ALL n_t windows are drawn jointly by the
+            # native multi-window decode so the constraint spans view 0 too.
+            d_min = cfg.CONTRASTIVE.DELTA_CLIPS_MIN
+            d_max = cfg.CONTRASTIVE.DELTA_CLIPS_MAX
+            constrained = d_min > -math.inf or d_max < math.inf
             if n_t > 1:
                 try:
                     result = decoder.decode_native(
@@ -215,9 +228,11 @@ class Kinetics:
                         cfg.DATA.NUM_FRAMES,
                         clip_idx=-1,
                         num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
-                        target_fps=cfg.DATA.TARGET_FPS,
+                        target_fps=target_fps,
                         use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
-                        n_views=n_t - 1,
+                        n_views=n_t if constrained else n_t - 1,
+                        min_delta=d_min,
+                        max_delta=d_max,
                     )
                     if result is not None:
                         got, got_t = result[0], result[3]
@@ -226,6 +241,11 @@ class Kinetics:
                         extra_times = (
                             got_t if isinstance(got_t, list) else [got_t]
                         )
+                        if constrained and extra_views:
+                            # Jointly-drawn window 0 replaces the main clip.
+                            frames, time_frac = extra_views[0], extra_times[0]
+                            extra_views = extra_views[1:]
+                            extra_times = extra_times[1:]
                 except Exception:
                     extra_views = []
                     extra_times = []
@@ -248,7 +268,7 @@ class Kinetics:
                         cfg.DATA.NUM_FRAMES,
                         clip_idx=-1,
                         num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
-                        target_fps=cfg.DATA.TARGET_FPS,
+                        target_fps=target_fps,
                         use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
                         backend=cfg.DATA.DECODING_BACKEND,
                     )

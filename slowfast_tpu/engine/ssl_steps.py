@@ -310,8 +310,21 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                     ssl["hist_batch_stats"], new_stats, mmt
                 )
         if ssl_type == "moco":
+            enq = keys
+            if cfg.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE:
+                # Enqueue keys from EVERY view, not just the key view
+                # (reference _dequeue_and_enqueue extra_keys,
+                # contrastive.py:255-283).
+                keys_q_view = jax.lax.stop_gradient(
+                    encode_frozen(
+                        {"backbone": ssl["hist_params"]},
+                        hist_stats,
+                        batch["inputs"],
+                    )
+                )
+                enq = jnp.concatenate([keys, keys_q_view], axis=0)
             ssl["queue_x"], ssl["ptr"] = dequeue_and_enqueue(
-                ssl["queue_x"], ssl["ptr"], keys
+                ssl["queue_x"], ssl["ptr"], enq
             )
         if ssl_type == "swav" and "queue_swav" in ssl:
             # Shift-in this batch's embeddings per view (reference :625-630).

@@ -75,6 +75,10 @@ def _test_one(cfg):
     from slowfast_tpu.models.build import init_model
 
     variables = init_model(model, cfg, rng=rng, train=False)
+    if cfg.LOG_MODEL_INFO and mesh_lib.is_master_proc():
+        from slowfast_tpu.utils import misc
+
+        misc.log_model_info(model, cfg, variables, is_train=False)
     tx, _ = construct_optimizer(variables["params"], cfg, 1)
     state = create_train_state(cfg, model, tx, rng=rng)
     state = cu.load_test_checkpoint(cfg, state)

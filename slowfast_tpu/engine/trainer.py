@@ -328,6 +328,8 @@ def train(cfg):
 
     variables = jax.jit(lambda r: init_model(model, cfg, rng=r, train=True))(rng)
     tx, lr_fn = construct_optimizer(variables["params"], cfg, steps_per_epoch)
+    if cfg.LOG_MODEL_INFO and mesh_lib.is_master_proc():
+        misc.log_model_info(model, cfg, variables, is_train=True)
     state = create_train_state(cfg, model, tx, rng=rng)
     del variables
 

@@ -58,7 +58,7 @@ class ContrastiveModel(nn.Module):
                     dim_out=cfg.CONTRASTIVE.DIM,
                     mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
                     num_layers=n_layers,
-                    bn_on=cfg.CONTRASTIVE.BN_MLP,
+                    bn_on=cfg.CONTRASTIVE.BN_MLP or cfg.CONTRASTIVE.BN_SYNC_MLP,
                     flatten=False,
                     name=f"predictor_{i}",
                 )

@@ -44,6 +44,7 @@ class ResNetBasicHead(nn.Module):
     mlp_dim: int = 2048
     bn_mlp: bool = False
     dtype: Any = None
+    fc_init_std: float = 0.01
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -75,7 +76,7 @@ class ResNetBasicHead(nn.Module):
             x = nn.Dense(
                 self.num_classes,
                 dtype=self.dtype,
-                kernel_init=nn.initializers.normal(0.01),
+                kernel_init=nn.initializers.normal(self.fc_init_std),
                 bias_init=nn.initializers.zeros,
                 name="projection",
             )(x)
@@ -106,6 +107,7 @@ class X3DHead(nn.Module):
     act_func: str = "softmax"
     bn_lin5_on: bool = False
     dtype: Any = None
+    fc_init_std: float = 0.01
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -130,7 +132,7 @@ class X3DHead(nn.Module):
         x = nn.Dense(
             self.num_classes,
             dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.01),
+            kernel_init=nn.initializers.normal(self.fc_init_std),
             bias_init=nn.initializers.zeros,
             name="projection",
         )(x)
@@ -161,6 +163,7 @@ class ResNetRoIHead(nn.Module):
     aligned: bool = True
     detach_final_fc: bool = False
     dtype: Any = None
+    fc_init_std: float = 0.01
 
     @nn.compact
     def __call__(self, xs, bboxes, train: bool = False):
@@ -201,7 +204,7 @@ class ResNetRoIHead(nn.Module):
         x = nn.Dense(
             self.num_classes,
             dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.01),
+            kernel_init=nn.initializers.normal(self.fc_init_std),
             bias_init=nn.initializers.zeros,
             name="projection",
         )(x)

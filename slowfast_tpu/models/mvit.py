@@ -277,8 +277,13 @@ class MViT(nn.Module):
                 name="head",
             )(x, train=train)
 
+        from .video_models import remat_policy
+
         block_cls = (
-            nn.remat(MultiScaleBlock, static_argnums=(2, 3))
+            nn.remat(
+                MultiScaleBlock, static_argnums=(2, 3),
+                policy=remat_policy(cfg),
+            )
             if cfg.MODEL.ACT_CHECKPOINT
             else MultiScaleBlock
         )
@@ -345,6 +350,7 @@ class MViT(nn.Module):
                 x = x[:, 1:]
             x = x.reshape(B, thw[0], thw[1], thw[2], final_dim)
             return ResNetRoIHead(
+                fc_init_std=cfg.MODEL.FC_INIT_STD,
                 dim_in=[final_dim],
                 num_classes=cfg.MODEL.NUM_CLASSES,
                 pool_size=[[cfg.DATA.NUM_FRAMES // patch_stride[0], 1, 1]],

@@ -24,6 +24,7 @@ class BasicTransform(nn.Module):
     norm: Callable
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     dtype: Any = None
     # Unused, kept for a uniform transform signature:
     dim_inner: int = 0
@@ -50,6 +51,9 @@ class BasicTransform(nn.Module):
             (0, self.dilation, self.dilation),
             dilation=(1, self.dilation, self.dilation),
             dtype=self.dtype,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_init_final_conv else None
+            ),
             name="b",
         )(x)
         x = self.norm(
@@ -70,6 +74,7 @@ class BottleneckTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     folded_t: int = 0  # >0: input is (B, H, W, T*C) folded
     dtype: Any = None
     block_idx: int = 0
@@ -103,7 +108,12 @@ class BottleneckTransform(nn.Module):
             x = self.norm(self.dim_inner, name="b_bn", folded_t=T)(x, train=train)
             x = nn.relu(x)
             x, _ = FoldedConv3D(
-                self.dim_out, (1, 1, 1), T, dtype=self.dtype, name="c"
+                self.dim_out, (1, 1, 1), T, dtype=self.dtype,
+                kernel_init=(
+                    nn.initializers.zeros if self.zero_init_final_conv
+                    else None
+                ),
+                name="c",
             )(x)
             x = self.norm(
                 self.dim_out,
@@ -137,7 +147,7 @@ class BottleneckTransform(nn.Module):
         x = self.norm(self.dim_inner, name="b_bn")(x, train=train)
         x = nn.relu(x)
 
-        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, kernel_init=nn.initializers.zeros if self.zero_init_final_conv else None, name="c")(x)
         x = self.norm(
             self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
         )(x, train=train)
@@ -159,6 +169,7 @@ class X3DTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     se_ratio: float = 0.0625
     swish_inner: bool = True
     block_idx: int = 0
@@ -196,7 +207,7 @@ class X3DTransform(nn.Module):
 
         x = nn.silu(x) if self.swish_inner else nn.relu(x)
 
-        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, kernel_init=nn.initializers.zeros if self.zero_init_final_conv else None, name="c")(x)
         x = self.norm(
             self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
         )(x, train=train)
@@ -217,6 +228,7 @@ class CSNTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     block_idx: int = 0
     dtype: Any = None
 
@@ -237,7 +249,7 @@ class CSNTransform(nn.Module):
         )(x)
         x = self.norm(self.dim_inner, name="b_bn")(x, train=train)
         x = nn.relu(x)
-        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, kernel_init=nn.initializers.zeros if self.zero_init_final_conv else None, name="c")(x)
         x = self.norm(
             self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
         )(x, train=train)
@@ -258,6 +270,7 @@ class R2Plus1DTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     block_idx: int = 0
     dtype: Any = None
 
@@ -288,7 +301,7 @@ class R2Plus1DTransform(nn.Module):
         )(x)
         x = self.norm(self.dim_inner, name="b_temporal_bn")(x, train=train)
         x = nn.relu(x)
-        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
+        x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, kernel_init=nn.initializers.zeros if self.zero_init_final_conv else None, name="c")(x)
         x = self.norm(
             self.dim_out, zero_init_gamma=self.zero_init_final_bn, name="c_bn"
         )(x, train=train)
@@ -321,6 +334,7 @@ class ResBlock(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     block_idx: int = 0
     drop_connect_rate: float = 0.0
     folded_t: int = 0
@@ -339,6 +353,7 @@ class ResBlock(nn.Module):
             stride_1x1=self.stride_1x1,
             dilation=self.dilation,
             zero_init_final_bn=self.zero_init_final_bn,
+            zero_init_final_conv=self.zero_init_final_conv,
             block_idx=self.block_idx,
             dtype=self.dtype,
             name="branch2",
@@ -404,8 +419,10 @@ class ResStage(nn.Module):
     stride_1x1: bool = False
     dilation: Sequence[int] = (1, 1)
     zero_init_final_bn: bool = False
+    zero_init_final_conv: bool = False
     drop_connect_rate: float = 0.0
     act_checkpoint: bool = False
+    remat_policy: Any = None  # jax.checkpoint policy for act_checkpoint
     # Per-pathway: input arrives already folded with this T (0 = NTHWC).
     in_folded_t: Sequence[int] = ()
     # Per-pathway: keep the output folded (skip the exit unfold).
@@ -418,7 +435,9 @@ class ResStage(nn.Module):
         # pass (reference wraps stages in fairscale checkpoint_wrapper,
         # video_model_builder.py:535-541).
         block_cls = (
-            nn.remat(ResBlock, static_argnums=(2,))
+            nn.remat(
+                ResBlock, static_argnums=(2,), policy=self.remat_policy
+            )
             if self.act_checkpoint
             else ResBlock
         )
@@ -466,6 +485,7 @@ class ResStage(nn.Module):
                     stride_1x1=self.stride_1x1,
                     dilation=self.dilation[p],
                     zero_init_final_bn=self.zero_init_final_bn,
+                    zero_init_final_conv=self.zero_init_final_conv,
                     block_idx=i,
                     drop_connect_rate=self.drop_connect_rate,
                     folded_t=folded_t,

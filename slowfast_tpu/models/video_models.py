@@ -8,6 +8,7 @@ view-averaged predictions (eval) per the head contract.
 import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -61,6 +62,19 @@ def round_width(width, multiplier, min_width=1, divisor=1):
         width_out += divisor
     return int(width_out)
 
+
+
+def remat_policy(cfg):
+    """Resolve ``TPU.REMAT_POLICY`` to a jax.checkpoint policy fn.
+
+    "nothing_saveable" (the default) recomputes every intermediate in the
+    backward pass; any other ``jax.checkpoint_policies`` name (e.g.
+    "dots_saveable" to keep matmul outputs) trades memory back for FLOPs.
+    """
+    name = cfg.TPU.REMAT_POLICY
+    if not name:
+        return None
+    return getattr(jax.checkpoint_policies, name)
 
 def compute_dtype(cfg):
     return jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
@@ -140,7 +154,9 @@ class SlowFast(nn.Module):
         trunc = cfg.TPU.TRUNCATE_AT
         remat_stages = set(cfg.TPU.REMAT_STAGES)
         stem_cls = (
-            nn.remat(VideoModelStem, static_argnums=(2,))
+            nn.remat(
+                VideoModelStem, static_argnums=(2,), policy=remat_policy(cfg)
+            )
             if "s1" in remat_stages
             else VideoModelStem
         )
@@ -213,7 +229,9 @@ class SlowFast(nn.Module):
         num_blocks = [d2, d3, d4, d5]
         for i in range(4):
             stage_cls = (
-                nn.remat(ResStage, static_argnums=(2,))
+                nn.remat(
+                    ResStage, static_argnums=(2,), policy=remat_policy(cfg)
+                )
                 if f"s{i + 2}" in remat_stages
                 else ResStage
             )
@@ -249,8 +267,10 @@ class SlowFast(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=[cfg.RESNET.SPATIAL_DILATIONS[i][0]] * 2,
                 zero_init_final_bn=zero_bn,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE,
                 act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
+                remat_policy=remat_policy(cfg),
                 dtype=dtype,
                 name=f"s{i + 2}",
             )(xs, train)
@@ -292,6 +312,7 @@ class SlowFast(nn.Module):
         head_dim_in = [w * 32, w * 32 // beta_inv]
         if cfg.DETECTION.ENABLE:
             return ResNetRoIHead(
+                fc_init_std=cfg.MODEL.FC_INIT_STD,
                 dim_in=head_dim_in,
                 num_classes=cfg.MODEL.NUM_CLASSES,
                 pool_size=[
@@ -325,6 +346,7 @@ class SlowFast(nn.Module):
             ]
         )
         return ResNetBasicHead(
+            fc_init_std=cfg.MODEL.FC_INIT_STD,
             dim_in=head_dim_in,
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=pool,
@@ -333,7 +355,7 @@ class SlowFast(nn.Module):
             detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
             mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
             mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
-            bn_mlp=cfg.CONTRASTIVE.BN_MLP,
+            bn_mlp=cfg.CONTRASTIVE.BN_MLP or cfg.CONTRASTIVE.BN_SYNC_MLP,
             dtype=dtype,
             name="head",
         )(xs, train=train)
@@ -398,8 +420,10 @@ class ResNet(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=cfg.RESNET.SPATIAL_DILATIONS[i],
                 zero_init_final_bn=zero_bn,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE,
                 act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
+                remat_policy=remat_policy(cfg),
                 dtype=dtype,
                 name=f"s{i + 2}",
             )(xs, train=train)
@@ -408,6 +432,7 @@ class ResNet(nn.Module):
 
         if cfg.DETECTION.ENABLE:
             return ResNetRoIHead(
+                fc_init_std=cfg.MODEL.FC_INIT_STD,
                 dim_in=[w * 32],
                 num_classes=cfg.MODEL.NUM_CLASSES,
                 pool_size=[[cfg.DATA.NUM_FRAMES // pool_size[0][0], 1, 1]],
@@ -433,6 +458,7 @@ class ResNet(nn.Module):
             ]
         )
         return ResNetBasicHead(
+            fc_init_std=cfg.MODEL.FC_INIT_STD,
             dim_in=[w * 32],
             num_classes=cfg.MODEL.NUM_CLASSES,
             pool_size=pool,
@@ -441,7 +467,7 @@ class ResNet(nn.Module):
             detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
             mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
             mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
-            bn_mlp=cfg.CONTRASTIVE.BN_MLP,
+            bn_mlp=cfg.CONTRASTIVE.BN_MLP or cfg.CONTRASTIVE.BN_SYNC_MLP,
             dtype=dtype,
             name="head",
         )(xs, train=train)
@@ -517,10 +543,12 @@ class X3D(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=cfg.RESNET.SPATIAL_DILATIONS[stage],
                 zero_init_final_bn=zero_bn,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 drop_connect_rate=cfg.MODEL.DROPCONNECT_RATE
                 * (stage + 2)
                 / (len(block_basis) + 1),
                 act_checkpoint=cfg.MODEL.ACT_CHECKPOINT,
+                remat_policy=remat_policy(cfg),
                 dtype=dtype,
                 name=f"s{stage + 2}",
             )(xs, train=train)
@@ -528,6 +556,7 @@ class X3D(nn.Module):
 
         spat_sz = int(math.ceil(cfg.DATA.TRAIN_CROP_SIZE / 32.0))
         return X3DHead(
+            fc_init_std=cfg.MODEL.FC_INIT_STD,
             dim_in=dim_out,
             dim_inner=dim_inner,
             dim_out=cfg.X3D.DIM_C5,

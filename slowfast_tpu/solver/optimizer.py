@@ -135,6 +135,36 @@ def add_decayed_weights_tree(wd_tree):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def trace_with_dampening(decay, dampening, nesterov=False):
+    """torch SGD momentum with dampening: ``v1 = g1`` (no dampening on the
+    FIRST accumulation — torch clones the gradient), then
+    ``v = decay*v + (1 - dampening)*g``."""
+
+    def init_fn(params):
+        return {
+            "trace": jax.tree.map(jnp.zeros_like, params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        first = state["step"] == 0
+        trace = jax.tree.map(
+            lambda g, v: jnp.where(
+                first, g, decay * v + (1.0 - dampening) * g
+            ),
+            updates,
+            state["trace"],
+        )
+        out = (
+            jax.tree.map(lambda g, v: g + decay * v, updates, trace)
+            if nesterov
+            else trace
+        )
+        return out, {"trace": trace, "step": state["step"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def scale_by_tree(scale_tree):
     """Per-leaf multiplicative scaling (layer-decay)."""
 
@@ -268,9 +298,20 @@ def construct_optimizer(params, cfg, steps_per_epoch: int):
 
     if method == "sgd":
         chain.append(add_decayed_weights_tree(decay_tree))  # coupled decay
-        chain.append(
-            optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
-        )
+        if cfg.SOLVER.DAMPENING:
+            # torch forbids nesterov with dampening (optim/sgd.py).
+            assert not cfg.SOLVER.NESTEROV, "dampening requires NESTEROV=False"
+            chain.append(
+                trace_with_dampening(
+                    cfg.SOLVER.MOMENTUM, cfg.SOLVER.DAMPENING
+                )
+            )
+        else:
+            chain.append(
+                optax.trace(
+                    decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV
+                )
+            )
     elif method == "adam":
         chain.append(add_decayed_weights_tree(decay_tree))
         chain.append(

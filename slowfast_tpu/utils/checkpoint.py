@@ -174,7 +174,7 @@ def save_checkpoint(
     return path
 
 
-def load_native_checkpoint(path, state, load_opt=True):
+def load_native_checkpoint(path, state, load_opt=True, clear_name_pattern=()):
     """Restore a TrainState template from a native checkpoint file.
 
     ``load_opt=False`` restores only model weights/stats (fine-tune init with
@@ -194,7 +194,17 @@ def load_native_checkpoint(path, state, load_opt=True):
         f"{path} is not a native checkpoint; use load_torch_checkpoint"
     )
     template = {"params": state.params, "batch_stats": state.batch_stats}
-    if load_opt:
+    if clear_name_pattern:
+        # Renamed keys can never strict-match the saved tree: go through
+        # the partial-restore filter (reference applies the pattern before
+        # its strict=False load, checkpoint.py:298-310).
+        raw = _apply_clear_names(
+            serialization.msgpack_restore(payload["model_state"]),
+            clear_name_pattern,
+        )
+        model = _partial_restore(template, raw)
+        load_opt = False
+    elif load_opt:
         # Resume: the trees must match exactly.
         model = serialization.from_bytes(template, payload["model_state"])
     else:
@@ -251,6 +261,28 @@ def load_native_checkpoint(path, state, load_opt=True):
                 )
         new_state = new_state.replace(ssl_state=ssl_state)
     return new_state, payload["epoch"]
+
+
+def _apply_clear_names(raw, patterns):
+    """Strip name patterns (e.g. ``"backbone."``) from every checkpoint key
+    (reference checkpoint.py:298-310, TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN).
+    Used for transfer: an SSL checkpoint stores the trunk under
+    ``backbone.``; the fine-tune model has no such prefix."""
+    if not patterns:
+        return raw
+    flat = _flatten(raw)
+    nested = {}
+    for path, val in flat.items():
+        name = ".".join(path)
+        for p in patterns:
+            if p in name:
+                name = name.replace(p, "")
+        d = nested
+        parts = name.split(".")
+        for k in parts[:-1]:
+            d = d.setdefault(k, {})
+        d[parts[-1]] = val
+    return nested
 
 
 def _partial_restore(template, raw):
@@ -326,7 +358,7 @@ def inflate_weight(w2d: np.ndarray, t: int) -> np.ndarray:
 
 
 def load_torch_checkpoint(path, variables, inflate=False, strict=False,
-                          image_init=False):
+                          image_init=False, clear_name_pattern=()):
     """Load a reference .pyth checkpoint into a flax variables dict.
 
     Returns (new_variables, missing, unexpected).
@@ -336,7 +368,8 @@ def load_torch_checkpoint(path, variables, inflate=False, strict=False,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt)
     return load_torch_checkpoint_dict(
-        sd, variables, inflate=inflate, strict=strict, image_init=image_init
+        sd, variables, inflate=inflate, strict=strict, image_init=image_init,
+        clear_name_pattern=clear_name_pattern,
     )
 
 
@@ -454,7 +487,7 @@ def _image_init_surgery(sd, flat_params):
 
 
 def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False,
-                               image_init=False):
+                               image_init=False, clear_name_pattern=()):
     """Map a torch-style state dict (name -> tensor/ndarray) onto flax vars."""
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
@@ -464,6 +497,16 @@ def load_torch_checkpoint_dict(sd, variables, inflate=False, strict=False,
         k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
         for k, v in sd.items()
     }
+    if clear_name_pattern:
+        # Strip transfer prefixes from the checkpoint names (reference
+        # checkpoint.py:298-310), e.g. "backbone." for SSL -> fine-tune.
+        renamed = {}
+        for k, v in sd.items():
+            for p in clear_name_pattern:
+                if p in k:
+                    k = k.replace(p, "")
+            renamed[k] = v
+        sd = renamed
     if image_init:
         sd = _image_init_surgery(sd, flat["params"])
 
@@ -612,7 +655,12 @@ def load_train_checkpoint(cfg, state):
         path = cfg.TRAIN.CHECKPOINT_FILE_PATH
         if _is_native(path):
             reset = cfg.TRAIN.CHECKPOINT_EPOCH_RESET
-            state, epoch = load_native_checkpoint(path, state, load_opt=not reset)
+            state, epoch = load_native_checkpoint(
+                path, state, load_opt=not reset,
+                clear_name_pattern=tuple(
+                    cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN
+                ),
+            )
             return state, 0 if reset else epoch + 1
         state = _load_any(path, state, cfg)
     return state, 0
@@ -630,11 +678,16 @@ def _is_native(path):
 
 
 def _load_any(path, state, cfg):
+    # Both test and train loads honor the TRAIN pattern, as the reference
+    # does (checkpoint.py:676,690).
+    clear = tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
     with open(path, "rb") as f:
         head = f.read(2)
     if head == b"\x80\x04" or head == b"\x80\x02":  # python pickle
         try:
-            new_state, _ = load_native_checkpoint(path, state)
+            new_state, _ = load_native_checkpoint(
+                path, state, clear_name_pattern=clear
+            )
             return new_state
         except AssertionError:
             pass
@@ -654,6 +707,7 @@ def _load_any(path, state, cfg):
             variables,
             inflate=cfg.TRAIN.CHECKPOINT_INFLATE,
             image_init=getattr(cfg.TRAIN, "CHECKPOINT_IN_INIT", False),
+            clear_name_pattern=clear,
         )
     return state.replace(
         params=new_vars["params"], batch_stats=new_vars["batch_stats"]

@@ -126,8 +126,11 @@ class Predictor:
         idx = np.linspace(0, len(frames) - 1, cfg.DATA.NUM_FRAMES).astype(int)
         clip = []
         size = cfg.DATA.TEST_CROP_SIZE
+        # cv2 captures are BGR (the default DEMO.INPUT_FORMAT); an RGB
+        # source skips the channel flip (reference predictor.py:69).
+        flip = cfg.DEMO.INPUT_FORMAT == "BGR"
         for i in idx:
-            f = frames[i][:, :, ::-1]  # BGR->RGB
+            f = frames[i][:, :, ::-1] if flip else frames[i]
             h, w = f.shape[:2]
             scale = size / min(h, w)
             f = cv2.resize(f, (int(round(w * scale)), int(round(h * scale))))
@@ -371,6 +374,10 @@ class ThreadVideoManager(VideoManager):
         self.results = {}
         self.next_display = 0
         self.stopped = False
+        # DEMO.NUM_CLIPS_SKIP: predict only every (skip+1)-th clip; the
+        # rest are written unannotated in order, keeping a slow predictor
+        # from stalling real-time capture (reference demo_loader.py:188,256).
+        self.num_skip = max(int(cfg.DEMO.NUM_CLIPS_SKIP), 0) + 1
         self.reader = threading.Thread(target=self._read_loop, daemon=True)
         self.reader.start()
 
@@ -378,7 +385,10 @@ class ThreadVideoManager(VideoManager):
         try:
             while not self.stopped:
                 task = VideoManager.__next__(self)
-                self.read_queue.put(task)
+                if self.num_skip > 1 and task.id % self.num_skip != 0:
+                    self.display(task)  # pass through unannotated
+                else:
+                    self.read_queue.put(task)
         except StopIteration:
             pass
         finally:
@@ -415,6 +425,7 @@ class AVAVisualizerWithPrecomputedBox:
         self.cfg = cfg
         self.source = cfg.DEMO.INPUT_VIDEO
         self.pred_boxes = self._load_boxes(cfg.DEMO.PREDS_BOXES)
+        self.gt_boxes = self._load_gt_boxes(cfg.DEMO.GT_BOXES)
         self.predictor = Predictor(cfg)
         self.vis = VideoVisualizer(
             num_classes=cfg.MODEL.NUM_CLASSES,
@@ -441,6 +452,24 @@ class AVAVisualizerWithPrecomputedBox:
                 if score >= self.cfg.AVA.DETECTION_SCORE_THRESH:
                     boxes[sec].append(box)
         return boxes
+
+    def _load_gt_boxes(self, path):
+        """AVA-format GT csv: video,sec,x1,y1,x2,y2,label[,person] — boxes
+        with 1-indexed action labels, multiple rows per box (reference
+        ava_demo_precomputed_boxes.py:394-446, DEMO.GT_BOXES)."""
+        import csv
+        from collections import defaultdict
+
+        gt = defaultdict(dict)  # sec -> {box: set(label ids)}
+        if not path:
+            return gt
+        with open(path) as f:
+            for row in csv.reader(f):
+                sec = int(row[1])
+                box = tuple(float(v) for v in row[2:6])
+                label = int(row[6]) - 1 if len(row) > 6 and row[6] else 0
+                gt[sec].setdefault(box, set()).add(label)
+        return gt
 
     def __call__(self):
         import cv2
@@ -475,8 +504,30 @@ class AVAVisualizerWithPrecomputedBox:
                 ]
                 task = self.predictor(task)
                 annotated = self.vis.draw_clip_range(
-                    task.frames, task.action_preds, bboxes=task.bboxes
+                    task.frames, task.action_preds, bboxes=task.bboxes,
+                    # DEMO.SLOWMO: repeat each written frame so fast actions
+                    # are visible (reference no_frames_repeat).
+                    repeat_frame=max(int(cfg.DEMO.SLOWMO), 1),
                 )
+                gt = self.gt_boxes.get(int(sec), {})
+                if gt:
+                    # Ground-truth overlay pass (reference draws GT boxes
+                    # alongside predictions when DEMO.GT_BOXES is set).
+                    gt_bx = [
+                        [b[0] * w, b[1] * h, b[2] * w, b[3] * h]
+                        for b in gt
+                    ]
+                    gt_preds = np.zeros((len(gt), cfg.MODEL.NUM_CLASSES))
+                    for bi, labels in enumerate(gt.values()):
+                        for lb in labels:
+                            if 0 <= lb < cfg.MODEL.NUM_CLASSES:
+                                gt_preds[bi, lb] = 1.0
+                    annotated = [
+                        self.vis.draw_one_frame(
+                            fr, gt_preds, bboxes=gt_bx, ground_truth=True
+                        )
+                        for fr in annotated
+                    ]
                 if writer is not None:
                     for fr in annotated:
                         writer.write(fr)

@@ -141,8 +141,26 @@ def visualize(cfg):
         preds = eval_fn(state, {"inputs": jin, "labels": jnp.asarray(labels)})
         if wrong_vis is not None:
             wrong_vis.update(preds, labels, index)
+        if (
+            cfg.TENSORBOARD.MODEL_VIS.ENABLE
+            and cfg.TENSORBOARD.MODEL_VIS.ACTIVATIONS
+            and cur_iter == 0
+        ):
+            # Layer-activation heatmaps on the first batch (reference
+            # tools/visualization.py:174, MODEL_VIS.ACTIVATIONS).
+            gwa = GetWeightAndActivation(
+                model, variables, cfg.TENSORBOARD.MODEL_VIS.LAYER_LIST
+            )
+            acts = gwa.get_activations(jin)
+            writer.plot_weights_and_activations(activations=acts)
         if gradcam is not None and cur_iter == 0:
-            cams, _ = gradcam(jin, labels=jnp.asarray(labels))
+            cams, _ = gradcam(
+                jin,
+                labels=jnp.asarray(labels),
+                # Target the TRUE class instead of the argmax prediction
+                # (reference visualization.py:101).
+                use_labels=cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.USE_TRUE_LABEL,
+            )
             for p, cam in enumerate(cams):
                 writer.writer.add_histogram(f"gradcam/pathway{p}", cam, 0)
         if cur_iter >= 10:
@@ -153,4 +171,13 @@ def visualize(cfg):
             "Class indices with wrong predictions: %s",
             sorted(set(wrong_vis.wrong_class_prediction))[:50],
         )
+    if cfg.TENSORBOARD.PREDICTIONS_PATH:
+        # Plot previously-saved test predictions (the pickle written by
+        # TEST.SAVE_RESULTS_PATH, engine/tester.py) — reference
+        # tools/visualization.py:285-295.
+        import pickle
+
+        with open(cfg.TENSORBOARD.PREDICTIONS_PATH, "rb") as f:
+            saved_preds, saved_labels = pickle.load(f)
+        writer.plot_eval(np.asarray(saved_preds), np.asarray(saved_labels))
     writer.close()

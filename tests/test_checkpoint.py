@@ -139,3 +139,71 @@ def test_inflate_weight():
     # Sum over T reproduces the 2D filter (the /T scaling preserves output
     # magnitude on temporally-constant input).
     np.testing.assert_allclose(w3d.sum(0), w2d[0], rtol=1e-6)
+
+
+def test_clear_name_pattern_ssl_to_finetune():
+    """TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN=("backbone.",) strips the SSL
+    wrapper prefix so a ContrastiveModel checkpoint initializes a plain
+    classification model (reference checkpoint.py:298-310; used by the
+    contrastive_ssl finetune/linear recipes)."""
+    from slowfast_tpu.engine.ssl_steps import create_ssl_train_state
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ssl_cfg = _tiny_cfg(tmp)
+        ssl_cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+        ssl_cfg.MODEL.LOSS_FUNC = "contrastive_loss"
+        ssl_cfg.CONTRASTIVE.TYPE = "simclr"
+        ssl_cfg.CONTRASTIVE.DIM = 16
+        ssl_cfg.CONTRASTIVE.LENGTH = 10
+        ssl_model = build_model(ssl_cfg)
+        rng = jax.random.PRNGKey(3)
+        from slowfast_tpu.models.build import dummy_inputs
+
+        variables = ssl_model.init(
+            {"params": rng, "dropout": rng},
+            dummy_inputs(ssl_cfg, 2),
+            train=True,
+        )
+        tx, _ = construct_optimizer(variables["params"], ssl_cfg, 10)
+        ssl_state = create_ssl_train_state(ssl_cfg, ssl_model, tx, rng=rng)
+        path = cu.save_checkpoint(tmp, ssl_state, epoch=0, cfg=ssl_cfg)
+        assert "backbone" in ssl_state.params
+
+        ft_cfg = _tiny_cfg(tmp)
+        ft_model = build_model(ft_cfg)
+        ft_vars = init_model(ft_model, ft_cfg, rng=jax.random.PRNGKey(9),
+                             train=True)
+        ft_tx, _ = construct_optimizer(ft_vars["params"], ft_cfg, 10)
+        fresh = create_train_state(ft_cfg, ft_model, ft_tx,
+                                   rng=jax.random.PRNGKey(9))
+        ft_cfg.TRAIN.AUTO_RESUME = False
+        ft_cfg.TRAIN.CHECKPOINT_FILE_PATH = path
+        ft_cfg.TRAIN.CHECKPOINT_EPOCH_RESET = True
+        ft_cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN = ("backbone.",)
+        loaded, start_epoch = cu.load_train_checkpoint(ft_cfg, fresh)
+        assert start_epoch == 0
+
+        # Trunk weights came from the SSL backbone: compare every non-zero
+        # leaf (zero-init BN params are identical in any fresh init).
+        ssl_leaves = jax.tree_util.tree_leaves(
+            ssl_state.params["backbone"]["s1"]
+        )
+        got_leaves = jax.tree_util.tree_leaves(loaded.params["s1"])
+        fresh_leaves = jax.tree_util.tree_leaves(fresh.params["s1"])
+        checked = 0
+        for sl, gl, fl in zip(ssl_leaves, got_leaves, fresh_leaves):
+            np.testing.assert_array_equal(np.asarray(gl), np.asarray(sl))
+            # Constant leaves (zero-init BN biases, ones-init BN scales)
+            # are identical in any fresh init; only randomly-initialized
+            # kernels distinguish loaded-from-checkpoint from fresh.
+            if np.unique(np.asarray(sl)).size > 1:
+                assert not np.array_equal(np.asarray(gl), np.asarray(fl))
+                checked += 1
+        assert checked > 0
+        # ... while WITHOUT the pattern nothing matches the plain tree.
+        ft_cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN = ()
+        unloaded, _ = cu.load_train_checkpoint(ft_cfg, fresh)
+        for ul, fl in zip(
+            jax.tree_util.tree_leaves(unloaded.params["s1"]), fresh_leaves
+        ):
+            np.testing.assert_array_equal(np.asarray(ul), np.asarray(fl))

@@ -145,3 +145,25 @@ def test_decode_cv2_fallback(test_video, monkeypatch):
     result = decoder.decode(path, 2, 8, clip_idx=0, num_clips=1)
     assert result is not None
     assert result[0].shape == (8, 48, 64, 3)
+
+
+def test_decode_native_multi_view_delta_constraints(test_video):
+    """CONTRASTIVE.DELTA_CLIPS_MIN/MAX: jointly-sampled SSL views respect
+    pairwise temporal-gap constraints (reference kinetics.py:337 ->
+    get_multiple_start_end_idx)."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, _ = test_video
+    # 90-frame video, clip_size = 2*8 = 16 frames; require the two views
+    # to overlap or nearly touch (gap between sorted windows <= 8).
+    for _ in range(5):
+        result = decoder.decode_native(
+            path, 2, 8, clip_idx=-1, num_clips=1, n_views=2,
+            min_delta=-math.inf, max_delta=8,
+        )
+        assert result is not None
+        _, _, _, times = result
+        span = 90 - 16  # video_size - clip_size
+        starts = sorted(t * span for t in times)
+        gap = starts[1] - (starts[0] + 16 - 1)
+        assert gap <= 8 + 1e-6

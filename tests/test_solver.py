@@ -194,3 +194,44 @@ def test_lars_matches_reference_semantics():
         np.asarray(params["layer"]["bias"]), tb.detach().numpy(),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sgd_dampening_matches_torch():
+    """SOLVER.DAMPENING: v = mu*v + (1 - tau)*g, exactly torch.optim.SGD's
+    dampening semantics (nesterov off; torch forbids the combination)."""
+    import torch
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.BASE_LR = 0.1
+    cfg.SOLVER.LR_POLICY = "constant"
+    cfg.SOLVER.MOMENTUM = 0.9
+    cfg.SOLVER.NESTEROV = False
+    cfg.SOLVER.DAMPENING = 0.5
+    cfg.SOLVER.WEIGHT_DECAY = 0.01
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+
+    w0 = np.random.RandomState(0).randn(4, 4).astype(np.float32)
+    g = np.random.RandomState(1).randn(4, 4).astype(np.float32)
+    params = {"layer": {"kernel": jnp.asarray(w0)}}
+    grads = {"layer": {"kernel": jnp.asarray(g)}}
+    tx, lr_fn = construct_optimizer(params, cfg, steps_per_epoch=1)
+    opt_state = tx.init(params)
+    for step in range(3):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - lr_fn(step) * u, params, updates
+        )
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD(
+        [tw], lr=0.1, momentum=0.9, dampening=0.5, weight_decay=0.01
+    )
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["kernel"]), tw.detach().numpy(), rtol=1e-5,
+        atol=1e-6,
+    )

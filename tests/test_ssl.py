@@ -362,3 +362,24 @@ def test_nce_sampled_logits_match_direct_gather():
     ] * w_t1[..., None]
     ref = jnp.einsum("nc,nkc->nk", q, k) / 0.07
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4)
+
+
+def test_moco_multi_view_queue_enqueues_all_views():
+    """CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE: keys from BOTH views enter the
+    queue, so the pointer advances by 2B per step (reference
+    _dequeue_and_enqueue extra_keys, contrastive.py:255-283)."""
+    cfg = _ssl_cfg("moco")
+    cfg.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE = True
+    model = build_model(cfg)
+    from slowfast_tpu.models.build import dummy_inputs
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10, donate=False)
+    state, m = step(state, _batch(cfg, b=4), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.ssl_state["ptr"]) == 8  # 2 views x B=4
