@@ -633,6 +633,20 @@ _C.TPU = CfgNode(
         # MVIT.NUM_HEADS at every stage. Mutually exclusive with
         # SPATIAL_PARTITIONS and SEQ_PARTITIONS.
         TENSOR_PARTITIONS=1,
+        # Pipeline parallelism (MViT family): split the transformer block
+        # stack into this many stages placed on disjoint device groups
+        # (parallel/pipeline.py). GPipe schedule: microbatches stream
+        # through per-stage jitted programs; backward recomputes each
+        # stage's forward (stage-granular remat); gradients accumulate on
+        # the stage's own devices. Unlike the GSPMD axes above, stage
+        # params are PLACED (each group owns its blocks' weights and
+        # optimizer state outright) — this is the axis that scales
+        # parameter memory. Composes with data parallelism (devices are a
+        # (pipe, data) grid); mutually exclusive with the GSPMD model axes.
+        PIPELINE_PARTITIONS=1,
+        # Microbatches per step in pipeline mode; 0 = PIPELINE_PARTITIONS
+        # (the minimum that keeps every stage busy outside fill/drain).
+        PIPELINE_MICROBATCHES=0,
         # Compute dtype for matmuls/convs: "bfloat16" or "float32".
         COMPUTE_DTYPE="bfloat16",
         # Number of batches prefetched to device.

@@ -149,7 +149,24 @@ class MViT(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, xs, bboxes=None, train: bool = False):
+    def __call__(
+        self,
+        xs,
+        bboxes=None,
+        train: bool = False,
+        stage_lo: int = 0,
+        stage_hi: int = None,
+    ):
+        """Forward pass; ``stage_lo``/``stage_hi`` select a pipeline stage.
+
+        Default (0, None) runs the whole model. A pipeline stage runs
+        blocks [stage_lo, stage_hi): stage_lo == 0 includes the patch
+        stem / pos-embeds, stage_hi >= DEPTH includes the final norm and
+        head; interior stages take ``xs = [tokens (B, N, C)]`` and return
+        the token activation. Parameter names are identical to the full
+        model's, so per-stage trees are disjoint slices of one checkpoint
+        (parallel/pipeline.py splits/assembles them).
+        """
         cfg = self.cfg
         dtype = compute_dtype(cfg)
         det = not train
@@ -166,87 +183,112 @@ class MViT(nn.Module):
         W0 = cfg.DATA.TRAIN_CROP_SIZE // patch_stride[2]
         patch_dims = [T0, H0, W0]
         num_patches = T0 * H0 * W0
+        stage_hi = depth if stage_hi is None else stage_hi
 
-        x = xs[0].astype(dtype)
-        if patch_2d:
-            # Fold T into batch for a 2D stem (image models).
-            B0, T_in = x.shape[0], x.shape[1]
-            x = x.reshape((B0 * T_in,) + x.shape[2:])
-        x, shape = PatchEmbed(
-            dim_out=embed_dim,
-            kernel=cfg.MVIT.PATCH_KERNEL,
-            stride=cfg.MVIT.PATCH_STRIDE,
-            padding=cfg.MVIT.PATCH_PADDING,
-            conv_2d=patch_2d,
-            dtype=dtype,
-            name="patch_embed",
-        )(x)
-        if patch_2d:
-            x = x.reshape(B0, -1, embed_dim)
-            thw = [T_in, shape[0], shape[1]]
+        if stage_lo > 0:
+            # Pipeline stage entry: xs[0] is the previous stage's (B, N, C)
+            # token activation; the pooled-thw geometry for the skipped
+            # blocks is replayed statically below.
+            x = xs[0].astype(dtype)
+            thw = list(patch_dims)
+            B = x.shape[0]
         else:
-            thw = list(shape)
-        B, N, _ = x.shape
-
-        s = 1 if cls_on else 0
-        if cfg.MVIT.USE_FIXED_SINCOS_POS:
-            sincos = jnp.asarray(
-                get_3d_sincos_pos_embed(embed_dim, H0, T0, cls_token=cls_on)
-            )[None]
-            x = x + sincos[:, s:, :].astype(x.dtype)
-        if cls_on:
-            cls_token = self.param(
-                "cls_token", trunc02, (1, 1, embed_dim), jnp.float32
-            )
-            cls_tokens = jnp.broadcast_to(
-                cls_token.astype(x.dtype), (B, 1, embed_dim)
-            )
-            if cfg.MVIT.USE_FIXED_SINCOS_POS:
-                cls_tokens = cls_tokens + sincos[:, :s, :].astype(x.dtype)
-            x = jnp.concatenate([cls_tokens, x], axis=1)
-
-        if cfg.MVIT.USE_ABS_POS:
-            if cfg.MVIT.SEP_POS_EMBED:
-                pe_s = self.param(
-                    "pos_embed_spatial", trunc02, (1, H0 * W0, embed_dim), jnp.float32
-                )
-                pe_t = self.param(
-                    "pos_embed_temporal", trunc02, (1, T0, embed_dim), jnp.float32
-                )
-                pos = jnp.tile(pe_s, (1, T0, 1)) + jnp.repeat(pe_t, H0 * W0, axis=1)
-                if cls_on:
-                    pe_c = self.param(
-                        "pos_embed_class", trunc02, (1, 1, embed_dim), jnp.float32
-                    )
-                    pos = jnp.concatenate([pe_c, pos], axis=1)
+            x = xs[0].astype(dtype)
+            if patch_2d:
+                # Fold T into batch for a 2D stem (image models).
+                B0, T_in = x.shape[0], x.shape[1]
+                x = x.reshape((B0 * T_in,) + x.shape[2:])
+            x, shape = PatchEmbed(
+                dim_out=embed_dim,
+                kernel=cfg.MVIT.PATCH_KERNEL,
+                stride=cfg.MVIT.PATCH_STRIDE,
+                padding=cfg.MVIT.PATCH_PADDING,
+                conv_2d=patch_2d,
+                dtype=dtype,
+                name="patch_embed",
+            )(x)
+            if patch_2d:
+                x = x.reshape(B0, -1, embed_dim)
+                thw = [T_in, shape[0], shape[1]]
             else:
-                pos = self.param(
-                    "pos_embed",
-                    trunc02,
-                    (1, num_patches + s, embed_dim),
-                    jnp.float32,
+                thw = list(shape)
+            B, N, _ = x.shape
+
+            s = 1 if cls_on else 0
+            if cfg.MVIT.USE_FIXED_SINCOS_POS:
+                sincos = jnp.asarray(
+                    get_3d_sincos_pos_embed(embed_dim, H0, T0, cls_token=cls_on)
+                )[None]
+                x = x + sincos[:, s:, :].astype(x.dtype)
+            if cls_on:
+                cls_token = self.param(
+                    "cls_token", trunc02, (1, 1, embed_dim), jnp.float32
+                )
+                cls_tokens = jnp.broadcast_to(
+                    cls_token.astype(x.dtype), (B, 1, embed_dim)
                 )
                 if cfg.MVIT.USE_FIXED_SINCOS_POS:
-                    # Parameter exists for checkpoint compat; value is the
-                    # fixed table (loaded at import; init uses sincos).
-                    pos = sincos
-            pos = self._maybe_interp_pos(pos, thw, patch_dims, s)
-            x = x + pos.astype(x.dtype)
+                    cls_tokens = cls_tokens + sincos[:, :s, :].astype(x.dtype)
+                x = jnp.concatenate([cls_tokens, x], axis=1)
 
-        if cfg.MVIT.DROPOUT_RATE > 0.0:
-            x = nn.Dropout(cfg.MVIT.DROPOUT_RATE)(x, deterministic=not train)
-        if cfg.MVIT.NORM_STEM:
-            x = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_stem")(x)
+            if cfg.MVIT.USE_ABS_POS:
+                if cfg.MVIT.SEP_POS_EMBED:
+                    pe_s = self.param(
+                        "pos_embed_spatial", trunc02, (1, H0 * W0, embed_dim), jnp.float32
+                    )
+                    pe_t = self.param(
+                        "pos_embed_temporal", trunc02, (1, T0, embed_dim), jnp.float32
+                    )
+                    pos = jnp.tile(pe_s, (1, T0, 1)) + jnp.repeat(pe_t, H0 * W0, axis=1)
+                    if cls_on:
+                        pe_c = self.param(
+                            "pos_embed_class", trunc02, (1, 1, embed_dim), jnp.float32
+                        )
+                        pos = jnp.concatenate([pe_c, pos], axis=1)
+                else:
+                    pos = self.param(
+                        "pos_embed",
+                        trunc02,
+                        (1, num_patches + s, embed_dim),
+                        jnp.float32,
+                    )
+                    if cfg.MVIT.USE_FIXED_SINCOS_POS:
+                        # Parameter exists for checkpoint compat; value is the
+                        # fixed table (loaded at import; init uses sincos).
+                        pos = sincos
+                pos = self._maybe_interp_pos(pos, thw, patch_dims, s)
+                x = x + pos.astype(x.dtype)
+
+            if cfg.MVIT.DROPOUT_RATE > 0.0:
+                x = nn.Dropout(cfg.MVIT.DROPOUT_RATE)(x, deterministic=not train)
+            if cfg.MVIT.NORM_STEM:
+                x = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="norm_stem")(x)
 
         blocks = mvit_block_schedule(cfg)
         dpr = np.linspace(0, cfg.MVIT.DROPPATH_RATE, depth)
         input_size = list(patch_dims)
+        # Replay the static pooled-size bookkeeping for blocks below this
+        # pipeline stage (geometry only — no params are touched).
+        for i in range(stage_lo):
+            if blocks[i]["stride_q"]:
+                thw = [
+                    (size - 1) // stride + 1
+                    for size, stride in zip(thw, blocks[i]["stride_q"])
+                ]
+                input_size = [
+                    (size - 1) // stride + 1
+                    for size, stride in zip(input_size, blocks[i]["stride_q"])
+                ]
 
         if cfg.MVIT.REV.ENABLE:
             from .reversible import ReversibleMViT
             from .common import TwoStreamFusion
 
             assert not cls_on, "reversible MViT does not support a cls token"
+            assert stage_lo == 0 and stage_hi >= depth, (
+                "pipeline partitioning does not support Rev-MViT (its "
+                "two-stream recompute already bounds activation memory)"
+            )
             x = ReversibleMViT(cfg=cfg, name="rev_backbone")(
                 x, thw, deterministic=not train
             )
@@ -294,7 +336,7 @@ class MViT(nn.Module):
         from slowfast_tpu.parallel.mesh import constrain_tokens
 
         x = constrain_tokens(x)
-        for i in range(depth):
+        for i in range(stage_lo, stage_hi):
             blk = blocks[i]
             x, _thw_out = block_cls(
                 dim=blk["dim"],
@@ -338,6 +380,10 @@ class MViT(nn.Module):
                     (size - 1) // stride + 1
                     for size, stride in zip(input_size, blk["stride_q"])
                 ]
+        if stage_hi < depth:
+            # Pipeline stage exit: hand the token activation to the next
+            # stage (the final norm + head live in the last stage).
+            return x
         final_dim = blocks[-1]["dim_out"]
 
         if cfg.DETECTION.ENABLE:

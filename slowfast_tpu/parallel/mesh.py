@@ -41,6 +41,17 @@ def create_mesh(cfg=None, devices=None) -> Mesh:
     sp = int(cfg.TPU.SPATIAL_PARTITIONS) if cfg is not None else 1
     sq = int(cfg.TPU.SEQ_PARTITIONS) if cfg is not None else 1
     tp = int(cfg.TPU.TENSOR_PARTITIONS) if cfg is not None else 1
+    if cfg is not None and int(cfg.TPU.PIPELINE_PARTITIONS) > 1:
+        # Pipeline mode does not run on a single GSPMD mesh: stages are
+        # PLACED on disjoint device groups by parallel/pipeline.MViTPipeline
+        # (per-stage params/optimizer, GPipe microbatch schedule). The
+        # standard trainer drives one jitted step over one mesh, so the
+        # knob must not silently degrade to plain data parallelism here.
+        raise NotImplementedError(
+            "TPU.PIPELINE_PARTITIONS > 1: the epoch trainer drives a "
+            "single-mesh jitted step; pipeline training uses "
+            "parallel.pipeline.MViTPipeline (see docs/SCALING.md)"
+        )
     active = [
         (size, axis)
         for size, axis in ((sp, "spatial"), (sq, "seq"), (tp, "model"))

@@ -274,8 +274,14 @@ def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
     return lambda step: epoch_lr_fn(step / steps_per_epoch)
 
 
-def construct_optimizer(params, cfg, steps_per_epoch: int):
-    """Build the optax optimizer + the lr schedule (by global step)."""
+def construct_optimizer(params, cfg, steps_per_epoch: int, global_clip=True):
+    """Build the optax optimizer + the lr schedule (by global step).
+
+    ``global_clip=False`` drops the global-norm clip from the chain for
+    callers that see only a slice of the model (pipeline stages) and apply
+    the true cross-stage norm themselves (parallel/pipeline.py); the
+    elementwise CLIP_GRAD_VAL stays — it is slice-local by definition.
+    """
     wd_tree, scale_tree, bn_tree = build_param_scales(params, cfg, with_bn_tree=True)
     lr_fn = make_lr_schedule(cfg, steps_per_epoch)
 
@@ -283,7 +289,7 @@ def construct_optimizer(params, cfg, steps_per_epoch: int):
     chain = []
     if cfg.SOLVER.CLIP_GRAD_VAL:
         chain.append(optax.clip(cfg.SOLVER.CLIP_GRAD_VAL))
-    elif cfg.SOLVER.CLIP_GRAD_L2NORM:
+    elif cfg.SOLVER.CLIP_GRAD_L2NORM and global_clip:
         chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRAD_L2NORM))
 
     decay_tree = wd_tree
