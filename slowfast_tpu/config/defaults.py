@@ -643,6 +643,8 @@ _C.TPU = CfgNode(
         # optimizer state outright) — this is the axis that scales
         # parameter memory. Composes with data parallelism (devices are a
         # (pipe, data) grid); mutually exclusive with the GSPMD model axes.
+        # train() dispatches to engine/pipeline_trainer.py when > 1; the
+        # tester/visualizers drive one GSPMD mesh and reject the knob.
         PIPELINE_PARTITIONS=1,
         # Microbatches per step in pipeline mode; 0 = PIPELINE_PARTITIONS
         # (the minimum that keeps every stage busy outside fill/drain).

@@ -299,6 +299,12 @@ def train(cfg):
     """Full training entry (reference train_net.py:493-758)."""
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         return train_ssl(cfg)
+    if int(cfg.TPU.PIPELINE_PARTITIONS) > 1:
+        # GPipe stages are placed programs on disjoint device groups, not
+        # a GSPMD mesh axis — they get their own epoch driver.
+        from slowfast_tpu.engine.pipeline_trainer import train_pipeline
+
+        return train_pipeline(cfg)
     mesh_lib.init_distributed(cfg)
     logging_utils.setup_logging(cfg.OUTPUT_DIR, mesh_lib.is_master_proc())
     logger.info("Train with config:")

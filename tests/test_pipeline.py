@@ -211,6 +211,45 @@ def test_balanced_bounds_cover_depth():
             assert hi == lo2 and hi > lo and hi2 > lo2
 
 
+def test_pipeline_trainer_e2e(tmp_path):
+    """run_net-style dispatch: trainer.train() drives the GPipe loop when
+    TPU.PIPELINE_PARTITIONS > 1 — epochs, eval, checkpoint, exact resume."""
+    from slowfast_tpu.engine.trainer import train
+    from slowfast_tpu.utils import checkpoint as cu
+
+    cfg = _mvit_cfg(n_pipe=2, n_micro=2)
+    for k, v in (
+        ("TRAIN.ENABLE", True),
+        ("TRAIN.DATASET", "syntheticvideo"),
+        ("TRAIN.BATCH_SIZE", 8),
+        ("TRAIN.EVAL_PERIOD", 2),
+        ("TRAIN.CHECKPOINT_PERIOD", 1),
+        ("TRAIN.AUTO_RESUME", True),
+        ("DATA.SYNTHETIC_SIZE", 8),
+        ("SOLVER.MAX_EPOCH", 2),
+        ("DATA_LOADER.NUM_WORKERS", 0),
+        ("LOG_PERIOD", 1),
+        ("OUTPUT_DIR", str(tmp_path)),
+    ):
+        cfg.merge_from_list([k, v])
+
+    import pickle
+
+    train(cfg)
+    cu.wait_for_saves()
+    assert cu.has_checkpoint(cfg.OUTPUT_DIR, cfg.TASK)
+    path = cu.get_path_to_checkpoint(cfg.OUTPUT_DIR, 2, cfg.TASK)
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    # 1 step/epoch x 2 epochs; saved full-model layout (params by name).
+    assert payload["epoch"] == 1 and payload["step"] == 2
+
+    # Resume continues into epoch 3 with the exact params/opt state.
+    cfg.SOLVER.MAX_EPOCH = 3
+    states2 = train(cfg)
+    assert int(states2[0].step) == 3
+
+
 def test_pipeline_rejects_unsupported_modes():
     from slowfast_tpu.models import build_model
     from slowfast_tpu.parallel.pipeline import MViTPipeline
