@@ -547,7 +547,11 @@ def bench_e2e_input_pipeline():
 
 
 def main():
-    result = {}
+    t_start = time.time()
+    # The extras run most-important-first (BASELINE targets, then tracking
+    # rows); if total wall time passes the budget the rest are skipped but
+    # the JSON line still prints — a partial bench beats a timed-out one.
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "2700"))
     clips_per_sec = bench_slowfast()
     result = {
         "metric": "slowfast_4x16_r50_train_clips_per_sec_per_chip",
@@ -556,75 +560,79 @@ def main():
         "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
     }
     extra = {}
-    if not os.environ.get("BENCH_SKIP_MVIT"):
+
+    def mvit_section():
+        mv = bench_mvit()
+        extra["mvitv2_s_16x4_train_clips_per_sec"] = round(mv, 2)
+        extra["mvitv2_s_vs_baseline"] = round(
+            mv / A100_MVIT_BASELINE_CLIPS_PER_SEC, 3
+        )
+
+    def c2d_section():
+        c2 = bench_c2d()
+        extra["c2d_8x8_r50_train_clips_per_sec"] = round(c2, 2)
+        extra["c2d_vs_baseline"] = round(
+            c2 / A100_C2D_BASELINE_CLIPS_PER_SEC, 3
+        )
+
+    def x3d_section():
+        # No A100 ratio: a FLOPs-matched estimate is meaningless for
+        # depthwise-dominated nets (bandwidth-bound on both chips);
+        # raw clips/s is the honest number.
+        extra["x3d_m_train_clips_per_sec"] = round(bench_x3d(), 2)
+
+    def ava_section():
+        # No A100 ratio: the reference publishes no detection-train
+        # throughput and a FLOPs match ignores the RoI/gather cost.
+        extra["ava_detection_train_clips_per_sec"] = round(
+            bench_ava_detection(), 2
+        )
+
+    def eval_section():
+        ev, p50 = bench_eval()
+        extra["slowfast_eval_clips_per_sec"] = round(ev, 2)
+        extra["slowfast_p50_clip_latency_ms"] = round(p50, 2)
+
+    def e2e_section():
+        e2e, loader_rate, h2d = bench_e2e_input_pipeline()
+        extra["slowfast_e2e_input_pipeline_clips_per_sec"] = round(e2e, 2)
+        extra["input_pipeline_loader_only_clips_per_sec"] = round(
+            loader_rate, 2
+        )
+        extra["host_to_device_MBps"] = round(h2d, 1)
+        extra["host_cpus"] = os.cpu_count()
+
+    def maskfeat_section():
+        extra["maskfeat_pt_train_clips_per_sec"] = round(bench_maskfeat(), 2)
+
+    def multigrid_section():
+        mgs, shape_rates = bench_multigrid()
+        # Reference's published claim for this schedule: "about 3-6x
+        # faster" training (MODEL_ZOO.md:41-42).
+        extra["multigrid_long_cycle_speedup"] = round(mgs, 2)
+        extra["multigrid_shape_clips_per_sec"] = shape_rates
+
+    sections = [
+        ("MVIT", "mvitv2_s", mvit_section),
+        ("C2D", "c2d", c2d_section),
+        ("X3D", "x3d", x3d_section),
+        ("AVA", "ava_detection", ava_section),
+        ("EVAL", "eval", eval_section),
+        ("E2E", "e2e", e2e_section),
+        ("MASKED", "maskfeat", maskfeat_section),
+        ("MULTIGRID", "multigrid", multigrid_section),
+    ]
+    for env_key, tag, fn in sections:
+        if os.environ.get(f"BENCH_SKIP_{env_key}"):
+            continue
+        if time.time() - t_start > budget_s:
+            extra.setdefault("skipped_for_time", []).append(tag)
+            continue
         try:
-            mv = bench_mvit()
-            extra["mvitv2_s_16x4_train_clips_per_sec"] = round(mv, 2)
-            extra["mvitv2_s_vs_baseline"] = round(
-                mv / A100_MVIT_BASELINE_CLIPS_PER_SEC, 3
-            )
+            fn()
         except Exception as e:  # never lose the headline number
-            extra["mvitv2_s_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_X3D"):
-        try:
-            xr = bench_x3d()
-            # No A100 ratio: a FLOPs-matched estimate is meaningless for
-            # depthwise-dominated nets (bandwidth-bound on both chips);
-            # raw clips/s is the honest number.
-            extra["x3d_m_train_clips_per_sec"] = round(xr, 2)
-        except Exception as e:
-            extra["x3d_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_C2D"):
-        try:
-            c2 = bench_c2d()
-            extra["c2d_8x8_r50_train_clips_per_sec"] = round(c2, 2)
-            extra["c2d_vs_baseline"] = round(
-                c2 / A100_C2D_BASELINE_CLIPS_PER_SEC, 3
-            )
-        except Exception as e:
-            extra["c2d_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_AVA"):
-        try:
-            av = bench_ava_detection()
-            # No A100 ratio: the reference publishes no detection-train
-            # throughput and a FLOPs match ignores the RoI/gather cost;
-            # raw clips/s is the honest number.
-            extra["ava_detection_train_clips_per_sec"] = round(av, 2)
-        except Exception as e:
-            extra["ava_detection_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_MASKED"):
-        try:
-            mk = bench_maskfeat()
-            extra["maskfeat_pt_train_clips_per_sec"] = round(mk, 2)
-        except Exception as e:
-            extra["maskfeat_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_MULTIGRID"):
-        try:
-            mgs, shape_rates = bench_multigrid()
-            # Reference's published claim for this schedule: "about 3-6x
-            # faster" training (MODEL_ZOO.md:41-42).
-            extra["multigrid_long_cycle_speedup"] = round(mgs, 2)
-            extra["multigrid_shape_clips_per_sec"] = shape_rates
-        except Exception as e:
-            extra["multigrid_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_EVAL"):
-        try:
-            ev, p50 = bench_eval()
-            extra["slowfast_eval_clips_per_sec"] = round(ev, 2)
-            extra["slowfast_p50_clip_latency_ms"] = round(p50, 2)
-        except Exception as e:
-            extra["eval_error"] = repr(e)[:200]
-    if not os.environ.get("BENCH_SKIP_E2E"):
-        try:
-            e2e, loader_rate, h2d = bench_e2e_input_pipeline()
-            extra["slowfast_e2e_input_pipeline_clips_per_sec"] = round(e2e, 2)
-            extra["input_pipeline_loader_only_clips_per_sec"] = round(
-                loader_rate, 2
-            )
-            extra["host_to_device_MBps"] = round(h2d, 1)
-            extra["host_cpus"] = os.cpu_count()
-        except Exception as e:
-            extra["e2e_error"] = repr(e)[:200]
+            extra[f"{tag}_error"] = repr(e)[:200]
+    extra["bench_wall_s"] = round(time.time() - t_start, 1)
     if extra:
         result["extra"] = extra
     print(json.dumps(result))
