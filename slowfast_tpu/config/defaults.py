@@ -669,6 +669,15 @@ _C.TPU = CfgNode(
         # kernel's 75.7 clips/s on MViTv2-S/v5e — XLA's fused bf16 chains
         # beat the custom-call boundary. Kept for ablation/large-Nk cases.
         FUSED_ATTENTION=False,
+        # True reversible backprop for Rev-MViT (models/reversible.py):
+        # a custom VJP over each reversible span saves ONLY the span
+        # outputs and reconstructs every block's inputs in the backward by
+        # inverting the two residual updates — O(1)-in-depth residual
+        # activation memory, like the reference's RevBackProp
+        # (reversible_mvit.py:177-263). False falls back to per-block
+        # remat (O(depth) stream boundaries, same numerics up to fp
+        # rounding); used for the grad-equivalence test.
+        REV_BACKPROP=True,
         # Use jax.checkpoint (remat) on heavy stages when ACT_CHECKPOINT.
         REMAT_POLICY="nothing_saveable",
         # Debug: return early after this stage name (e.g. "s2"); "" = off.

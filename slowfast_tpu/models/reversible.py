@@ -6,10 +6,18 @@ F = pre-LN pooling attention and G = pre-LN MLP; StageTransitionBlocks
 residual with the shared Q-pool conv, and re-expand.
 
 The reference implements a custom autograd Function (RevBackProp,
-:177-263) that reconstructs activations in the backward pass. The
-TPU-native equivalent is ``jax.checkpoint`` (remat) on each reversible
-block: identical numerics and the same O(1)-per-block activation memory —
-XLA rematerializes F and G inside the backward instead of storing them.
+:177-263) that reconstructs activations in the backward pass: only the
+span OUTPUTS are stored, and each block's inputs are recovered by
+inverting the two residual updates (x2 = y2 - G(y1); x1 = y1 - F(x2)),
+so residual activation memory is O(1) in span depth. This file does the
+same with a ``jax.custom_vjp`` over each reversible span
+(:func:`_run_reversible_span`); per-block ``jax.checkpoint`` — which
+still stores both stream boundaries per block, O(depth) — is kept as the
+``cfg.TPU.REV_BACKPROP=False`` fallback and for the grad-equivalence
+test. Stochasticity (droppath / attention dropout) replays exactly in
+the backward because per-block RNG keys are threaded through the custom
+VJP as explicit arguments, mirroring the reference's seed replay
+(:199-206).
 """
 
 from typing import Any, Sequence, Tuple
@@ -138,6 +146,130 @@ class ReversibleBlock(nn.Module):
             g_y1 = drop_path(g_y1, self.droppath_rate, self.make_rng("dropout"))
         y2 = x2 + g_y1
         return y1, y2
+
+
+def _zero_key_ct(k):
+    """float0 cotangent for a (non-differentiable) RNG-key argument."""
+    return np.zeros(np.shape(k), jax.dtypes.float0)
+
+
+def _span_fns(specs, cfg, dtype, deterministic, needs_rng):
+    """Pure-apply (F_fn, G_fn) pairs for each block of a reversible span.
+
+    The subblock definitions are UNBOUND modules applied against the
+    parameter subtrees the bound ``ReversibleBlock`` submodules created at
+    init — same params, same math, but as pure functions the custom VJP
+    can re-run during input reconstruction.
+    """
+    fns = []
+    for spec in specs:
+        F_def = AttentionSubBlock(
+            dim=spec["dim"],
+            dim_out=spec["dim_out"],
+            input_size=spec["input_size"],
+            num_heads=spec["num_heads"],
+            thw=spec["thw"],
+            cfg=cfg,
+            kernel_q=spec["kernel_q"],
+            kernel_kv=spec["kernel_kv"],
+            stride_q=spec["stride_q"],
+            stride_kv=spec["stride_kv"],
+            dtype=dtype,
+        )
+        G_def = MLPSubblock(
+            dim=spec["dim_out"], mlp_ratio=cfg.MVIT.MLP_RATIO, dtype=dtype
+        )
+        dp_rate = spec["droppath"]
+
+        def make(F_def=F_def, G_def=G_def, dp_rate=dp_rate):
+            def F_fn(p, x, key):
+                rngs = (
+                    {"dropout": jax.random.fold_in(key, 0)}
+                    if needs_rng
+                    else None
+                )
+                f = F_def.apply({"params": p}, x, deterministic, rngs=rngs)
+                if dp_rate > 0.0 and not deterministic:
+                    f = drop_path(f, dp_rate, jax.random.fold_in(key, 1))
+                return f
+
+            def G_fn(p, y, key):
+                rngs = (
+                    {"dropout": jax.random.fold_in(key, 0)}
+                    if needs_rng
+                    else None
+                )
+                g = G_def.apply({"params": p}, y, deterministic, rngs=rngs)
+                if dp_rate > 0.0 and not deterministic:
+                    g = drop_path(g, dp_rate, jax.random.fold_in(key, 1))
+                return g
+
+            return F_fn, G_fn
+
+        fns.append(make())
+    return fns
+
+
+def _run_reversible_span(fns, params, keys, x1, x2):
+    """True reversible backprop over one span of reversible blocks.
+
+    TPU-native equivalent of the reference's RevBackProp autograd Function
+    (reversible_mvit.py:177-263): the forward saves ONLY the span outputs
+    (plus params/keys); the backward walks the span in reverse, inverting
+    each block's two residual updates to reconstruct its inputs and
+    re-linearizing F and G there for the gradients. Residual activation
+    memory is therefore O(1) in span depth — per-block remat would store
+    both stream boundaries for every block, O(depth).
+
+    ``params`` is a tuple of ``{"F": ..., "G": ...}`` subtrees and
+    ``keys`` a tuple of per-block RNG keys (key k folds to the F / G
+    dropout+droppath streams inside the block functions, so forward and
+    reconstruction replay identical noise).
+    """
+
+    def fwd_only(params, keys, x1, x2):
+        for (F_fn, G_fn), p, k in zip(fns, params, keys):
+            y1 = x1 + F_fn(p["F"], x2, jax.random.fold_in(k, 0))
+            y2 = x2 + G_fn(p["G"], y1, jax.random.fold_in(k, 1))
+            x1, x2 = y1, y2
+        return x1, x2
+
+    span = jax.custom_vjp(fwd_only)
+
+    def fwd(params, keys, x1, x2):
+        y1, y2 = fwd_only(params, keys, x1, x2)
+        return (y1, y2), (params, keys, y1, y2)
+
+    def bwd(res, cts):
+        params, keys, y1, y2 = res
+        dy1, dy2 = cts
+        dparams = []
+        for (F_fn, G_fn), p, k in zip(
+            reversed(fns), reversed(params), reversed(keys)
+        ):
+            kf = jax.random.fold_in(k, 0)
+            kg = jax.random.fold_in(k, 1)
+            # Invert y2 = x2 + G(y1), collecting G's VJP at y1.
+            g, G_vjp = jax.vjp(
+                lambda pG, y, _G=G_fn, _kg=kg: _G(pG, y, _kg), p["G"], y1
+            )
+            x2 = y2 - g
+            dpG, dg = G_vjp(dy2)
+            dy1 = dy1 + dg
+            # Invert y1 = x1 + F(x2), collecting F's VJP at x2.
+            f, F_vjp = jax.vjp(
+                lambda pF, x, _F=F_fn, _kf=kf: _F(pF, x, _kf), p["F"], x2
+            )
+            x1 = y1 - f
+            dpF, df = F_vjp(dy1)
+            dy2 = dy2 + df
+            dparams.append({"F": dpF, "G": dpG})
+            y1, y2 = x1, x2
+        dkeys = tuple(jax.tree.map(_zero_key_ct, k) for k in keys)
+        return tuple(reversed(dparams)), dkeys, dy1, dy2
+
+    span.defvjp(fwd, bwd)
+    return span(params, keys, x1, x2)
 
 
 class StageTransitionBlock(nn.Module):
@@ -288,13 +420,67 @@ class ReversibleMViT(nn.Module):
                     for s, st in zip(cur_thw, sched[i]["stride_q"])
                 ]
 
-        # Execute: reversible spans with remat, transitions in between.
-        i = 0
+        # Execute: reversible spans (custom O(1)-memory VJP, or per-block
+        # remat during init / as the REV_BACKPROP=False fallback) with
+        # non-reversible transitions in between.
+        dtype = compute_dtype(cfg)
+        use_custom = cfg.TPU.REV_BACKPROP and not self.is_initializing()
+        needs_rng = (not deterministic) and (
+            cfg.MVIT.DROPOUT_RATE > 0.0
+            or any(
+                l["droppath"] > 0.0 for l in layers if not l["transition"]
+            )
+        )
+
+        def run_span(x1, x2, pending):
+            if use_custom:
+                fns = _span_fns(
+                    [s for _, s in pending], cfg, dtype, deterministic,
+                    needs_rng,
+                )
+                params = tuple(
+                    self.variables["params"][f"layers_{j}"]
+                    for j, _ in pending
+                )
+                if needs_rng:
+                    base = self.make_rng("dropout")
+                    keys = tuple(
+                        jax.random.fold_in(base, j) for j, _ in pending
+                    )
+                else:
+                    keys = tuple(
+                        jnp.zeros((2,), jnp.uint32) for _ in pending
+                    )
+                return _run_reversible_span(fns, params, keys, x1, x2)
+            for j, spec in pending:
+                block_cls = nn.remat(ReversibleBlock, static_argnums=(3,))
+                x1, x2 = block_cls(
+                    dim=spec["dim"],
+                    dim_out=spec["dim_out"],
+                    input_size=spec["input_size"],
+                    num_heads=spec["num_heads"],
+                    thw=spec["thw"],
+                    cfg=cfg,
+                    mlp_ratio=cfg.MVIT.MLP_RATIO,
+                    droppath_rate=spec["droppath"],
+                    kernel_q=spec["kernel_q"],
+                    kernel_kv=spec["kernel_kv"],
+                    stride_q=spec["stride_q"],
+                    stride_kv=spec["stride_kv"],
+                    dtype=dtype,
+                    name=f"layers_{j}",
+                )(x1, x2, deterministic)
+            return x1, x2
+
         x1 = x2 = None
         two_stream = False
+        pending = []
         for i, spec in enumerate(layers):
             if spec["transition"]:
                 if two_stream:
+                    if pending:
+                        x1, x2 = run_span(x1, x2, pending)
+                        pending = []
                     x = jnp.concatenate([x1, x2], axis=-1)
                     two_stream = False
                 x = StageTransitionBlock(
@@ -318,28 +504,11 @@ class ReversibleMViT(nn.Module):
                 if not two_stream:
                     x1, x2 = x, x
                     two_stream = True
-                # remat = the reference's RevBackProp activation
-                # reconstruction: F/G are recomputed in the backward pass
-                # instead of stored.
-                block_cls = nn.remat(ReversibleBlock, static_argnums=(3,))
-                x1, x2 = block_cls(
-                    dim=spec["dim"],
-                    dim_out=spec["dim_out"],
-                    input_size=spec["input_size"],
-                    num_heads=spec["num_heads"],
-                    thw=spec["thw"],
-                    cfg=cfg,
-                    mlp_ratio=cfg.MVIT.MLP_RATIO,
-                    droppath_rate=spec["droppath"],
-                    kernel_q=spec["kernel_q"],
-                    kernel_kv=spec["kernel_kv"],
-                    stride_q=spec["stride_q"],
-                    stride_kv=spec["stride_kv"],
-                    dtype=compute_dtype(cfg),
-                    name=f"layers_{i}",
-                )(x1, x2, deterministic)
+                pending.append((i, spec))
 
         if two_stream:
+            if pending:
+                x1, x2 = run_span(x1, x2, pending)
             x = jnp.concatenate([x1, x2], axis=-1)
         if cfg.MVIT.DROPOUT_RATE > 0.0:
             x = nn.Dropout(cfg.MVIT.DROPOUT_RATE)(x, deterministic=deterministic)
