@@ -4,6 +4,7 @@ import os
 from collections import defaultdict
 
 from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.io import pathmgr
 
 logger = logging_utils.get_logger(__name__)
 
@@ -24,7 +25,7 @@ def load_image_lists(cfg, is_train):
     video_name_to_idx = {}
     video_idx_to_name = []
     for list_filename in list_filenames:
-        with open(list_filename, "r") as f:
+        with pathmgr.open(list_filename, "r") as f:
             header = f.readline()
             for line in f:
                 row = line.split()
@@ -62,7 +63,7 @@ def load_boxes_and_labels(cfg, mode):
     count = 0
     unique_box_count = 0
     for filename, is_gt_box in zip(ann_filenames, ann_is_gt_box):
-        with open(filename, "r") as f:
+        with pathmgr.open(filename, "r") as f:
             for line in f:
                 row = line.strip().split(",")
                 if not is_gt_box:

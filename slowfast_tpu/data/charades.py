@@ -9,6 +9,7 @@ import random
 import numpy as np
 
 from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.io import pathmgr
 from . import utils as data_utils
 from .build import DATASET_REGISTRY
 
@@ -31,12 +32,12 @@ class Charades:
         cfg = self.cfg
         split = "train" if self.mode == "train" else "val"
         path_to_file = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, f"{split}.csv")
-        assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        assert pathmgr.exists(path_to_file), f"{path_to_file} not found"
         from collections import defaultdict
 
         paths = defaultdict(list)
         labels = defaultdict(list)
-        with open(path_to_file) as f:
+        with pathmgr.open(path_to_file) as f:
             f.readline()
             for line in f:
                 row = line.split()

@@ -12,6 +12,7 @@ import random
 import numpy as np
 
 from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.io import pathmgr
 from . import transform
 from . import utils as data_utils
 from .build import DATASET_REGISTRY
@@ -51,7 +52,7 @@ class Imagenet:
             path = os.path.join(
                 self.cfg.DATA.PATH_TO_PRELOAD_IMDB, f"{self.mode}.json"
             )
-            with open(path) as f:
+            with pathmgr.open(path) as f:
                 self._imdb = json.load(f)
             self._class_ids = {}
             logger.info(
@@ -59,7 +60,7 @@ class Imagenet:
             )
             return
         split_path = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, self.mode)
-        assert os.path.exists(split_path), f"{split_path} not found"
+        assert pathmgr.exists(split_path), f"{split_path} not found"
         classes = sorted(
             d for d in os.listdir(split_path)
             if os.path.isdir(os.path.join(split_path, d))

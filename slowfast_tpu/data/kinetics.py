@@ -13,6 +13,7 @@ import random
 import numpy as np
 
 from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.io import pathmgr
 from . import decoder, utils as data_utils
 from .build import DATASET_REGISTRY
 
@@ -53,7 +54,7 @@ class Kinetics:
             self.mode
         ]
         path_to_file = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, csv_name)
-        assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        assert pathmgr.exists(path_to_file), f"{path_to_file} not found"
         self._path_to_videos = []
         self._labels = []
         self._spatial_temporal_idx = []
@@ -63,7 +64,7 @@ class Kinetics:
         chunk = self.cfg.DATA.LOADER_CHUNK_SIZE if self.mode == "train" else 0
         skip = self.cfg.DATA.SKIP_ROWS if chunk > 0 else 0
         clip_idx = 0
-        with open(path_to_file) as f:
+        with pathmgr.open(path_to_file) as f:
             for row_idx, line in enumerate(f):
                 if chunk > 0 and (row_idx < skip or row_idx >= skip + chunk):
                     continue

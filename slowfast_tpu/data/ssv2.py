@@ -11,6 +11,7 @@ import random
 import numpy as np
 
 from slowfast_tpu.utils import logging as logging_utils
+from slowfast_tpu.utils.io import pathmgr
 from . import utils as data_utils
 from .build import DATASET_REGISTRY
 
@@ -33,7 +34,7 @@ class Ssv2:
     def _construct_loader(self):
         cfg = self.cfg
         # Label mapping.
-        with open(
+        with pathmgr.open(
             os.path.join(
                 cfg.DATA.PATH_TO_DATA_DIR,
                 "something-something-v2-labels.json",
@@ -42,7 +43,7 @@ class Ssv2:
             label_dict = json.load(f)
         # Per-video labels.
         split = "train" if self.mode == "train" else "validation"
-        with open(
+        with pathmgr.open(
             os.path.join(
                 cfg.DATA.PATH_TO_DATA_DIR, f"something-something-v2-{split}.json"
             )
@@ -64,7 +65,7 @@ class Ssv2:
         from collections import defaultdict
 
         self._path_to_videos = defaultdict(list)
-        with open(path_to_file) as f:
+        with pathmgr.open(path_to_file) as f:
             f.readline()
             for line in f:
                 row = line.split()

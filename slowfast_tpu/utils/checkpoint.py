@@ -23,6 +23,7 @@ import numpy as np
 from flax import serialization
 
 from . import logging as logging_utils
+from .io import pathmgr
 
 logger = logging_utils.get_logger(__name__)
 
@@ -45,7 +46,7 @@ def get_path_to_checkpoint(path_to_job, epoch, task=""):
 def get_last_checkpoint(path_to_job, task=""):
     """Most recent checkpoint file (reference checkpoint.py:61-78)."""
     d = get_checkpoint_dir(path_to_job)
-    names = os.listdir(d) if os.path.exists(d) else []
+    names = pathmgr.ls(d) if pathmgr.exists(d) else []
     prefix = f"{task}_checkpoint" if task else "checkpoint"
     names = [f for f in names if f.startswith(prefix)]
     if not names:
@@ -114,7 +115,7 @@ def save_checkpoint(
     """
     if jax.process_index() != 0:
         return None
-    os.makedirs(get_checkpoint_dir(path_to_job), exist_ok=True)
+    pathmgr.mkdirs(get_checkpoint_dir(path_to_job))
     # Join (and surface errors from) any previous writer BEFORE snapshotting
     # so at most one host-state copy exists at a time.
     wait_for_saves()
@@ -149,9 +150,9 @@ def save_checkpoint(
         tmp = os.path.join(
             os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
         )
-        with open(tmp, "wb") as f:
+        with pathmgr.open(tmp, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-        os.replace(tmp, path)
+        pathmgr.replace(tmp, path)
 
     if background:
         import threading
@@ -188,7 +189,7 @@ def load_native_checkpoint(path, state, load_opt=True, clear_name_pattern=()):
     are skipped. 1-D ``rel_pos_*`` length mismatches are linearly
     re-interpolated (reference :443-451).
     """
-    with open(path, "rb") as f:
+    with pathmgr.open(path, "rb") as f:
         payload = pickle.load(f)
     assert payload.get("format", "").startswith("slowfast_tpu."), (
         f"{path} is not a native checkpoint; use load_torch_checkpoint"
@@ -365,7 +366,8 @@ def load_torch_checkpoint(path, variables, inflate=False, strict=False,
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    with pathmgr.open(path, "rb") as f:
+        ckpt = torch.load(f, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt)
     return load_torch_checkpoint_dict(
         sd, variables, inflate=inflate, strict=strict, image_init=image_init,
@@ -668,7 +670,7 @@ def load_train_checkpoint(cfg, state):
 
 def _is_native(path):
     try:
-        with open(path, "rb") as f:
+        with pathmgr.open(path, "rb") as f:
             payload = pickle.load(f)
         return isinstance(payload, dict) and str(
             payload.get("format", "")
@@ -681,7 +683,7 @@ def _load_any(path, state, cfg):
     # Both test and train loads honor the TRAIN pattern, as the reference
     # does (checkpoint.py:676,690).
     clear = tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
-    with open(path, "rb") as f:
+    with pathmgr.open(path, "rb") as f:
         head = f.read(2)
     if head == b"\x80\x04" or head == b"\x80\x02":  # python pickle
         try:

@@ -12,6 +12,8 @@ import logging
 import os
 import sys
 
+from .io import pathmgr
+
 
 def _suppress_print():
     def print_none(*objects, sep=" ", end="\n", file=sys.stdout, flush=False):
@@ -22,7 +24,9 @@ def _suppress_print():
 
 @functools.lru_cache(maxsize=None)
 def _cached_log_stream(filename):
-    return open(filename, "a", buffering=1)
+    if "://" in filename:  # remote URI: route through pathmgr
+        return pathmgr.open(filename, "a")
+    return open(filename, "a", buffering=1)  # line-buffered local file
 
 
 def setup_logging(output_dir=None, is_master=True):
@@ -67,5 +71,7 @@ def log_json_stats(stats, output_dir=None):
     logger = get_logger(__name__)
     logger.info("json_stats: {:s}".format(json_stats))
     if output_dir is not None:
-        with open(os.path.join(output_dir, "json_stats.log"), "a") as f:
+        with pathmgr.open(
+            os.path.join(output_dir, "json_stats.log"), "a"
+        ) as f:
             f.write("json_stats: {:s}\n".format(json_stats))
