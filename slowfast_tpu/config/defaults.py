@@ -719,35 +719,12 @@ def assert_and_infer_cfg(cfg):
         cfg.SOLVER.WARMUP_START_LR *= cfg.NUM_SHARDS
         cfg.SOLVER.COSINE_END_LR *= cfg.NUM_SHARDS
     assert cfg.SHARD_ID < cfg.NUM_SHARDS
-    # Loud failures for reference MASK modes no shipped recipe uses and
-    # this build does not implement (silent divergence would be worse).
+    # All reference MASK mode combinations are implemented
+    # (models/masked.py): MAE/MaskFeat x loader/random/tube/per-frame
+    # masking, DECODER_SEP_POS_EMBED, and DEC_KV_KERNEL/STRIDE pooling.
     assert cfg.MASK.HEAD_TYPE in ("separate", "separate_xformer"), (
         cfg.MASK.HEAD_TYPE
     )
-    if cfg.MASK.ENABLE:
-        if cfg.MASK.HEAD_TYPE == "separate_xformer" and not cfg.MASK.MAE_ON:
-            raise NotImplementedError(
-                "separate_xformer head is implemented as the MAE decoder "
-                "(models/masked.py); MaskFeat uses HEAD_TYPE=separate"
-            )
-        if cfg.MASK.MAE_ON and not cfg.MASK.MAE_RND_MASK:
-            raise NotImplementedError(
-                "MAE with loader-provided masks (MAE_RND_MASK=False) is not "
-                "implemented; every reference MAE recipe sets MAE_RND_MASK"
-            )
-        if not cfg.MASK.MAE_ON and cfg.MASK.MAE_RND_MASK:
-            raise NotImplementedError(
-                "MaskFeat with on-device random masking is not implemented; "
-                "masks come from the loader (data/kinetics.py gen_mask)"
-            )
-        for k in ("PER_FRAME_MASKING", "DECODER_SEP_POS_EMBED"):
-            if getattr(cfg.MASK, k):
-                raise NotImplementedError(f"MASK.{k} is not implemented")
-        if list(cfg.MASK.DEC_KV_KERNEL) or list(cfg.MASK.DEC_KV_STRIDE):
-            raise NotImplementedError(
-                "decoder KV pooling (MASK.DEC_KV_KERNEL/STRIDE) is not "
-                "implemented; the MAE decoder attends over all tokens"
-            )
     return cfg
 
 

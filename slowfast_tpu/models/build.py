@@ -36,10 +36,10 @@ def init_model(model, cfg, rng=None, train=True):
     if cfg.DETECTION.ENABLE:
         boxes = jnp.array([[0, 0, 0, 32, 32], [1, 8, 8, 48, 48]], jnp.float32)
         variables = model.init(rngs, inputs, boxes, train=train)
-    elif cfg.MASK.ENABLE and not cfg.MASK.MAE_ON:
-        # MaskFeat takes a loader-granularity mask (reference passes the
-        # collated mask into forward); init with a dummy at the loader's
-        # mask geometry so the module tree traces.
+    elif cfg.MASK.ENABLE and not (cfg.MASK.MAE_ON and cfg.MASK.MAE_RND_MASK):
+        # MaskFeat (and loader-masked MAE) take a loader-granularity mask
+        # (reference passes the collated mask into forward); init with a
+        # dummy at the loader's mask geometry so the module tree traces.
         if cfg.MVIT.PATCH_2D:
             from slowfast_tpu.models.mvit import maskfeat_feature_size
 
@@ -81,10 +81,13 @@ def _scale_init_by_depth(variables):
         if m:
             i = int(m.group(1)) + 1
             rescale(params[k], i, i)
-        m = re.fullmatch(r"decoder_blocks_(\d+)", k)
-        if m:
-            i = int(m.group(1)) + 1
-            rescale(params[k], i, i + n_trunk)
+    head = params.get("pred_head")
+    if head:
+        for k in head:
+            m = re.fullmatch(r"transforms_(\d+)_(\d+)", k)
+            if m and "attn" in head[k]:
+                j = int(m.group(2)) + 1
+                rescale(head[k], j, j + n_trunk)
     return {**variables, "params": params}
 
 

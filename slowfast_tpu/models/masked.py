@@ -1,11 +1,20 @@
 """Masked pretraining: MaskFeat and MAE on the MViT trunk.
 
-Reference: slowfast/models/masked.py:24-622. Returns (preds, labels) pairs;
+Reference: slowfast/models/masked.py:24-623. Returns (preds, labels) pairs;
 the train step computes the configured loss against the generated targets.
 
 TPU notes: masked-position selection is expressed as mask-weighted losses
 (MaskFeat) or static-size gathers from an argsorted noise permutation
-(MAE random masking) — both fully static-shaped for XLA.
+(MAE masking) — both fully static-shaped for XLA. The reference's mask
+sources all map onto one noise tensor fed to the same argsort machinery:
+random (MAE_RND_MASK), tube (AUG.MASK_TUBE), per-frame
+(MASK.PER_FRAME_MASKING — argsort rows become B*T frames), and
+loader-provided masks (MAE_RND_MASK=False — the mask itself is the noise,
+so masked positions sort last; reference masked.py:299-301). The one
+divergence from the reference: with a loader mask the reference derives
+len_keep from the mask's live sum (masked.py:301-302), a data-dependent
+shape XLA cannot compile; here len_keep is static from AUG.MASK_RATIO,
+which every shipped recipe sets to the loader generator's target ratio.
 """
 
 import math
@@ -25,23 +34,70 @@ from .video_models import compute_dtype
 
 
 class MSSeparateHead(nn.Module):
-    """Per-depth prediction head: LN -> Linear (+ optional transformer
-    blocks when DECODER_DEPTH > 0). Reference head_helper.py:566-672."""
+    """Per-depth prediction heads: optional transformer decoder blocks
+    (HEAD_TYPE separate_xformer, with MASK.DEC_KV_KERNEL/STRIDE KV pooling)
+    followed by LayerNorm + Linear. Reference head_helper.py:565-672.
 
-    num_classes: Any  # list per depth
+    Module layout mirrors the reference so torch checkpoints map
+    mechanically: ``transforms_{i}_{j}`` are the xformer blocks with the
+    final LayerNorm at the last j index (the reference packs both into one
+    nn.Sequential), and ``projections_{i}`` is the output Linear. The
+    reference gathers masked positions (``x[mask]``) before projecting;
+    here the projection runs over the full static-shaped grid and the loss
+    applies the mask as weights — loss-equivalent and XLA-friendly.
+    """
+
+    cfg: Any
+    num_classes: Any  # list per depth: prediction target dim
+    head_dims: Any  # list per depth: input feature dim
+    feat_sizes: Any  # list per depth: (t, h, w) token geometry
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, thws, train: bool = False):
+        cfg = self.cfg
+        head_type = cfg.MASK.HEAD_TYPE.split("_")
+        n_xf = 0
+        if len(head_type) > 1 and head_type[1] == "xformer":
+            n_xf = cfg.MASK.DECODER_DEPTH
         outs = []
         for i, x in enumerate(feats):
-            x = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name=f"projections_{i}_norm")(x)
+            thw = list(thws[i])
+            dim = self.head_dims[i]
+            for j in range(n_xf):
+                dim_out = cfg.MASK.DECODER_EMBED_DIM
+                x, thw = MultiScaleBlock(
+                    dim=dim,
+                    dim_out=dim_out,
+                    num_heads=max(dim_out // 64, 1),
+                    input_size=tuple(self.feat_sizes[i]),
+                    mlp_ratio=cfg.MVIT.MLP_RATIO,
+                    qkv_bias=cfg.MVIT.QKV_BIAS,
+                    drop_rate=cfg.MVIT.DROPOUT_RATE,
+                    kernel_q=(),
+                    kernel_kv=tuple(cfg.MASK.DEC_KV_KERNEL),
+                    stride_q=(),
+                    stride_kv=tuple(cfg.MASK.DEC_KV_STRIDE),
+                    mode=cfg.MVIT.MODE,
+                    has_cls_embed=cfg.MVIT.CLS_EMBED_ON,
+                    pool_first=cfg.MVIT.POOL_FIRST,
+                    use_pallas_attention=use_pallas(cfg),
+                    fused_attention=cfg.TPU.FUSED_ATTENTION,
+                    dtype=self.dtype,
+                    name=f"transforms_{i}_{j}",
+                )(x, thw, deterministic=not train)
+                dim = dim_out
+            # Reference head init (head_helper.py:646-656): Linear
+            # trunc_normal(0.02) weight / zero bias, default LayerNorm —
+            # NOT the trunk's 0.02 bias convention.
+            x = nn.LayerNorm(epsilon=1e-6, name=f"transforms_{i}_{n_xf}")(x)
+            if cfg.MVIT.CLS_EMBED_ON:
+                x = x[:, 1:]  # reference head_helper.py:666
             x = nn.Dense(
                 self.num_classes[i],
                 kernel_init=trunc02,
-                bias_init=bias02,
                 dtype=self.dtype,
-                name=f"projections_{i}_proj",
+                name=f"projections_{i}",
             )(x)
             outs.append(x)
         return outs
@@ -92,8 +148,33 @@ class MaskMViT(nn.Module):
             thw = list(shape)
 
         if cfg.MASK.MAE_ON:
-            return self._mae_forward(tokens, thw, x_raw, train)
+            return self._mae_forward(tokens, thw, x_raw, mask, train)
         return self._maskfeat_forward(tokens, thw, x_raw, mask, train)
+
+    # ------------------------------------------------------------------
+    # Masking helpers
+    # ------------------------------------------------------------------
+
+    def _mask_to_token_grid(self, mask, B, T0, H0, W0):
+        """Upsample a loader mask to token granularity -> (B, T0, H0, W0)
+        float (reference float-mask F.interpolate, masked.py:165-176)."""
+        mask = mask.astype(jnp.float32)
+        if mask.ndim == 3:  # (B, h, w) 2D masking -> broadcast over T
+            mask = jnp.broadcast_to(mask[:, None], (B, T0) + mask.shape[1:])
+        mt, mh, mw = mask.shape[1:]
+        rt, rh, rw = T0 // mt, H0 // mh, W0 // mw
+        return jnp.repeat(jnp.repeat(jnp.repeat(mask, rt, 1), rh, 2), rw, 3)
+
+    def _random_token_mask(self, B, N, rng):
+        """On-device random token mask at AUG.MASK_RATIO -> (B, N) float
+        (reference _mae_random_masking used by MaskFeat when MAE_RND_MASK,
+        masked.py:521-525)."""
+        noise = jax.random.uniform(rng, (B, N))
+        len_keep = int(N * (1 - self.cfg.AUG.MASK_RATIO))
+        ids_shuffle = jnp.argsort(noise, axis=1)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)
+        m = jnp.zeros((B, N)).at[:, len_keep:].set(1.0)
+        return jnp.take_along_axis(m, ids_restore, axis=1)
 
     # ------------------------------------------------------------------
     # MaskFeat (reference :519-613)
@@ -105,15 +186,15 @@ class MaskMViT(nn.Module):
         B, N, C = tokens.shape
         T0, H0, W0 = thw
 
-        # mask: (B, t, h, w) boolean at MASK_WINDOW_SIZE granularity;
-        # upsample to token granularity (reference float-mask interpolation).
-        assert mask is not None, "MaskFeat requires a loader-generated mask"
-        mask = mask.astype(jnp.float32)
-        if mask.ndim == 3:  # (B, h, w) 2D masking -> broadcast over T
-            mask = jnp.broadcast_to(mask[:, None], (B, T0) + mask.shape[1:])
-        mt, mh, mw = mask.shape[1:]
-        rt, rh, rw = T0 // mt, H0 // mh, W0 // mw
-        mask_tok = jnp.repeat(jnp.repeat(jnp.repeat(mask, rt, 1), rh, 2), rw, 3)
+        if cfg.MASK.MAE_RND_MASK:
+            # MaskFeat x random mask: mask generated on device instead of
+            # by the loader (reference masked.py:521-525).
+            rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
+            mask_flat2 = self._random_token_mask(B, N, rng)
+            mask_tok = mask_flat2.reshape(B, T0, H0, W0)
+        else:
+            assert mask is not None, "MaskFeat requires a loader-generated mask"
+            mask_tok = self._mask_to_token_grid(mask, B, T0, H0, W0)
         mask_flat = mask_tok.reshape(B, N, 1)
 
         mask_token = self.param("mask_token", trunc02, (1, 1, C), jnp.float32)
@@ -134,13 +215,10 @@ class MaskMViT(nn.Module):
         x, feats = self._trunk(x, [T0, H0, W0], train)
 
         # Targets: HOG (or raw pixels) of the input frames per feature cell.
-        preds_labels = []
         nbins, cell_sz = 9, 8
         sched = mvit_block_schedule(cfg)
+        feats_l, thws_l, labels_l, masks_l = [], [], [], []
         for d_i, depth in enumerate(cfg.MASK.PRETRAIN_DEPTH):
-            # Head drops the cls token before projecting (reference
-            # head_helper.py MSSeparateHead.forward `x = x[:, 1:]`).
-            feat = feats[d_i][:, s:]  # (B, N_d, C_d) grid tokens at that depth
             # Feature geometry at this depth: apply the pooling size formula
             # ((size-1)//stride+1) per pooled block — plain division diverges
             # from the real grid at odd sizes (e.g. 14 -> 7 -> 4 -> 2).
@@ -152,7 +230,7 @@ class MaskMViT(nn.Module):
                     t_d = (t_d - 1) // sq[0] + 1
                     h_d = (h_d - 1) // sq[1] + 1
                     w_d = (w_d - 1) // sq[2] + 1
-                    stride_acc = [a * s for a, s in zip(stride_acc, sq)]
+                    stride_acc = [a * st for a, st in zip(stride_acc, sq)]
             # [-2] = the H stride in both the 3D (t, h, w) and 2D (h, w)
             # patch-stride layouts.
             feat_stride_sp = self.cfg.MVIT.PATCH_STRIDE[-2] * stride_acc[1]
@@ -163,20 +241,25 @@ class MaskMViT(nn.Module):
                 )
             else:
                 labels = self._pixel_labels(x_raw, t_d, h_d, w_d)
-            pred = MSSeparateHead(
-                num_classes=[labels.shape[-1]], dtype=dtype, name=f"pred_head_{d_i}"
-            )([feat])[0]
 
             # Mask at this depth's granularity.
-            m = mask_tok.reshape(B, T0, H0, W0)
+            m = mask_tok
             m = m[:, :: max(T0 // t_d, 1), :: max(H0 // h_d, 1), :: max(W0 // w_d, 1)]
             m = m[:, :t_d, :h_d, :w_d]  # odd sizes: strided pick can overshoot
-            m = m.reshape(B, -1)
-            preds_labels.append((pred, labels, m))
+            feats_l.append(feats[d_i])  # cls kept; the head drops it
+            thws_l.append([t_d, h_d, w_d])
+            labels_l.append(labels)
+            masks_l.append(m.reshape(B, -1))
 
-        preds = [p for p, _, _ in preds_labels]
-        labels = [(l, m) for _, l, m in preds_labels]
-        return preds, labels
+        preds = MSSeparateHead(
+            cfg=cfg,
+            num_classes=[l.shape[-1] for l in labels_l],
+            head_dims=[f.shape[-1] for f in feats_l],
+            feat_sizes=thws_l,
+            dtype=dtype,
+            name="pred_head",
+        )(feats_l, thws_l, train)
+        return preds, list(zip(labels_l, masks_l))
 
     def _hog_labels(self, x_raw, t_d, h_d, w_d, feat_stride, nbins, cell_sz):
         """HOG target per feature cell (reference _get_hog_label_2d :232-282).
@@ -198,7 +281,10 @@ class MaskMViT(nn.Module):
         )
         cells_per = Hc // h_d
         hog = hog.reshape(B * t_d, 3, nbins, h_d, cells_per, w_d, cells_per)
-        hog = hog.transpose(0, 3, 5, 1, 4, 6, 2)  # (B*t, h, w, 3, cp, cp, nbins)
+        # Per-cell order (c, bin, i, j): the reference unfolds AFTER
+        # flattening (C, nbins), so the cell offsets vary fastest
+        # (masked.py:266-275 permute+unfold+flatten(3)).
+        hog = hog.transpose(0, 3, 5, 1, 2, 4, 6)  # (B*t, h, w, 3, nbins, cp, cp)
         hog = hog.reshape(B, t_d * h_d * w_d, -1)
         return jax.lax.stop_gradient(hog)
 
@@ -221,27 +307,62 @@ class MaskMViT(nn.Module):
     # MAE (reference :283-477)
     # ------------------------------------------------------------------
 
-    def _mae_forward(self, tokens, thw, x_raw, train):
+    def _mae_forward(self, tokens, thw, x_raw, mask, train):
         cfg = self.cfg
         dtype = compute_dtype(cfg)
         B, N, C = tokens.shape
         T0, H0, W0 = thw
         ratio = cfg.AUG.MASK_RATIO
-        len_keep = int(N * (1 - ratio))
         s = 1 if cfg.MVIT.CLS_EMBED_ON else 0
+        per_frame = cfg.MASK.PER_FRAME_MASKING
 
         # Patch pos is added before the visible-token gather (equivalent to
-        # the reference's gather-then-add, reference :363-377).
+        # the reference's gather-then-add, reference :363-377; with
+        # USE_FIXED_SINCOS_POS the reference itself adds pre-gather :329-330
+        # — the only pos layout that composes with PER_FRAME_MASKING there).
         pos = self._pos_table(N, C, num_cls=s)
         x = tokens if pos is None else tokens + pos[:, s:].astype(tokens.dtype)
 
-        # Random masking via argsorted noise (reference :283-318).
+        # One noise tensor expresses every mask source; argsort turns it
+        # into keep/drop index sets (reference _mae_random_masking :283-317).
         rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
-        noise = jax.random.uniform(rng, (B, N))
+        if not cfg.MASK.MAE_RND_MASK:
+            # Loader-provided mask as noise: unmasked (0) sorts first = kept
+            # (reference :299-301). len_keep is static from AUG.MASK_RATIO
+            # (see module docstring).
+            assert mask is not None, (
+                "MASK.MAE_RND_MASK=False requires a loader-generated mask "
+                "(AUG.GEN_MASK_LOADER)"
+            )
+            # The reference flattens the loader mask directly (:299-300) —
+            # MAE loader masks are generated AT token granularity
+            # (AUG.MASK_WINDOW_SIZE == the token grid), unlike MaskFeat's
+            # window masks which we upsample.
+            assert mask.size == B * N, (
+                f"MAE loader mask {mask.shape} must match the token grid "
+                f"({B}, {T0}, {H0}, {W0}); set AUG.MASK_WINDOW_SIZE to the "
+                "patch grid for MAE_RND_MASK=False"
+            )
+            noise = mask.astype(jnp.float32).reshape(B, N)
+        elif cfg.AUG.MASK_TUBE:
+            # Same spatial mask for every frame (reference :291-297).
+            u = jax.random.uniform(rng, (B, 1, H0 * W0))
+            noise = jnp.tile(u, (1, T0, 1)).reshape(B, N)
+        else:
+            noise = jax.random.uniform(rng, (B, N))
+
+        # PER_FRAME_MASKING: each frame is masked independently at the same
+        # ratio — the argsort rows become the B*T frames (reference :332-338).
+        rows, L = (B * T0, H0 * W0) if per_frame else (B, N)
+        len_keep = int(L * (1 - ratio))
+        assert len_keep >= 1, f"MASK_RATIO {ratio} leaves no visible tokens"
+        noise = noise.reshape(rows, L)
         ids_shuffle = jnp.argsort(noise, axis=1)
         ids_restore = jnp.argsort(ids_shuffle, axis=1)
         ids_keep = ids_shuffle[:, :len_keep]
-        x_vis = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+        x_vis = jnp.take_along_axis(
+            x.reshape(rows, L, C), ids_keep[:, :, None], axis=1
+        ).reshape(B, -1, C)
 
         if s:
             # cls token joins only the visible set (reference :340-346).
@@ -266,46 +387,41 @@ class MaskMViT(nn.Module):
         mask_token = self.param(
             "mask_token", trunc02, (1, 1, dec_dim), jnp.float32
         ).astype(x_dec.dtype)
-        mask_tokens = jnp.broadcast_to(mask_token, (B, N - len_keep, dec_dim))
         # Unshuffle patch tokens only; cls stays at the front (reference
         # :400-414: `x_ = cat([x[:, s:], mask_tokens])` ... `cat([x[:, :s], x_])`).
+        # Per-frame mode reshapes to frame rows only AFTER appending the
+        # mask tokens to the whole sample (reference :406-413) — so earlier
+        # frames' masked slots are filled from LATER FRAMES' visible
+        # embeddings before any actual mask token is reached. A reference
+        # quirk, reproduced deliberately; with per-frame off, rows == B and
+        # this is the standard MAE unshuffle.
+        n_vis = x_dec.shape[1] - s
+        mask_tokens = jnp.broadcast_to(mask_token, (B, N - n_vis, dec_dim))
         x_ = jnp.concatenate([x_dec[:, s:], mask_tokens], axis=1)
+        x_ = x_.reshape(rows, L, dec_dim)
         x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x_ = x_.reshape(B, N, dec_dim)
         x_full = jnp.concatenate([x_dec[:, :s], x_], axis=1)
-        dec_pos = self.param(
-            "dec_pos_embed", trunc02, (1, s + N, dec_dim), jnp.float32
-        )
-        x_full = x_full + dec_pos.astype(x_full.dtype)
-        for i in range(cfg.MASK.DECODER_DEPTH):
-            x_full, _ = MultiScaleBlock(
-                dim=dec_dim,
-                dim_out=dec_dim,
-                num_heads=max(dec_dim // 64, 1),
-                input_size=(T0, H0, W0),
-                mlp_ratio=cfg.MVIT.MLP_RATIO,
-                use_pallas_attention=use_pallas(cfg),
-                fused_attention=cfg.TPU.FUSED_ATTENTION,
-                qkv_bias=cfg.MVIT.QKV_BIAS,
-                has_cls_embed=bool(s),
-                dtype=dtype,
-                name=f"decoder_blocks_{i}",
-            )(x_full, [T0, H0, W0], deterministic=not train)
-        x_full = nn.LayerNorm(epsilon=1e-6, bias_init=bias02, name="decoder_norm")(
-            x_full
-        )
+        dec_pos = self._dec_pos_table(N, dec_dim, num_cls=s)
+        if dec_pos is not None:
+            x_full = x_full + dec_pos.astype(x_full.dtype)
 
-        # Pixel targets. Head drops the cls token before projecting
-        # (reference head_helper.py MSSeparateHead.forward).
+        # Prediction head: DECODER_DEPTH transformer blocks (+ optional
+        # DEC_KV pooling) + LN + Linear — the reference routes the MAE
+        # decoder through the same MSSeparateHead (masked.py:438-443).
         labels = self._mae_pixel_targets(x_raw, T0, H0, W0)
-        pred = nn.Dense(
-            labels.shape[-1], kernel_init=trunc02, bias_init=bias02, dtype=dtype,
+        preds = MSSeparateHead(
+            cfg=cfg,
+            num_classes=[labels.shape[-1]],
+            head_dims=[dec_dim],
+            feat_sizes=[[T0, H0, W0]],
+            dtype=dtype,
             name="pred_head",
-        )(x_full[:, s:])
+        )([x_full], [[T0, H0, W0]], train)
 
-        mask = jnp.zeros((B, N))
-        mask = mask.at[:, len_keep:].set(1.0)
-        mask = jnp.take_along_axis(mask, ids_restore, axis=1)
-        return [pred], [(labels, mask)]
+        m = jnp.zeros((rows, L)).at[:, len_keep:].set(1.0)
+        m = jnp.take_along_axis(m, ids_restore, axis=1).reshape(B, N)
+        return preds, [(labels, m)]
 
     def _mae_pixel_targets(self, x_raw, T0, H0, W0):
         """Patchify pixels (reference _patchify :178-189). With
@@ -341,13 +457,20 @@ class MaskMViT(nn.Module):
         Sep mode builds spatial x temporal factors with a class slot
         prepended (reference :566-577); joint mode is one table whose
         first `num_cls` rows belong to the cls token (reference :106).
+        USE_FIXED_SINCOS_POS returns the (non-learned) 3D sincos table
+        (reference video_model_builder.py pos_embed buffer).
         """
         cfg = self.cfg
         if not cfg.MVIT.USE_ABS_POS:
             return None
+        t_stride = 1 if cfg.MVIT.PATCH_2D else list(cfg.MVIT.PATCH_STRIDE)[0]
+        T0 = cfg.DATA.NUM_FRAMES // t_stride
+        if cfg.MVIT.USE_FIXED_SINCOS_POS:
+            grid = int(round(math.sqrt(n_patches // T0)))
+            return jnp.asarray(
+                get_3d_sincos_pos_embed(C, grid, T0, cls_token=num_cls > 0)
+            )[None]
         if cfg.MVIT.SEP_POS_EMBED:
-            t_stride = 1 if cfg.MVIT.PATCH_2D else list(cfg.MVIT.PATCH_STRIDE)[0]
-            T0 = cfg.DATA.NUM_FRAMES // t_stride
             HW = n_patches // T0
             pe_s = self.param("pos_embed_spatial", trunc02, (1, HW, C), jnp.float32)
             pe_t = self.param("pos_embed_temporal", trunc02, (1, T0, C), jnp.float32)
@@ -360,6 +483,36 @@ class MaskMViT(nn.Module):
         else:
             pos = self.param(
                 "pos_embed", trunc02, (1, num_cls + n_patches, C), jnp.float32
+            )
+        return pos
+
+    def _dec_pos_table(self, n_patches, C, num_cls=0):
+        """Decoder pos-embed table (reference :87-121, :416-436): joint
+        `decoder_pos_embed` or, with MASK.DECODER_SEP_POS_EMBED, separated
+        spatial x temporal factors + class slot."""
+        cfg = self.cfg
+        if not cfg.MVIT.USE_ABS_POS:
+            return None
+        if cfg.MASK.DECODER_SEP_POS_EMBED:
+            t_stride = 1 if cfg.MVIT.PATCH_2D else list(cfg.MVIT.PATCH_STRIDE)[0]
+            T0 = cfg.DATA.NUM_FRAMES // t_stride
+            HW = n_patches // T0
+            pe_s = self.param(
+                "dec_pos_embed_spatial", trunc02, (1, HW, C), jnp.float32
+            )
+            pe_t = self.param(
+                "dec_pos_embed_temporal", trunc02, (1, T0, C), jnp.float32
+            )
+            pos = jnp.tile(pe_s, (1, T0, 1)) + jnp.repeat(pe_t, HW, axis=1)
+            if num_cls:
+                pe_c = self.param(
+                    "dec_pos_embed_class", trunc02, (1, num_cls, C), jnp.float32
+                )
+                pos = jnp.concatenate([pe_c, pos], axis=1)
+        else:
+            pos = self.param(
+                "decoder_pos_embed", trunc02, (1, num_cls + n_patches, C),
+                jnp.float32,
             )
         return pos
 

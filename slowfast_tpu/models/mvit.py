@@ -129,9 +129,12 @@ def get_3d_sincos_pos_embed(embed_dim, grid_size, t_size, cls_token=False):
     grid_w = np.arange(grid_size, dtype=np.float32)
     grid = np.meshgrid(grid_w, grid_h)  # w goes first
     grid = np.stack(grid, axis=0).reshape([2, 1, grid_size, grid_size])
-    emb_h = get_1d(embed_dim_spatial // 2, grid[1])
-    emb_w = get_1d(embed_dim_spatial // 2, grid[0])
-    pos_embed_spatial = np.concatenate([emb_h, emb_w], axis=1)
+    # NOTE: the reference feeds grid[0] (the W mesh — "w goes first") to the
+    # first half and grid[1] (H) to the second (utils.py:119-122, its
+    # emb_h/emb_w names are swapped relative to what they encode).
+    emb_first = get_1d(embed_dim_spatial // 2, grid[0])
+    emb_second = get_1d(embed_dim_spatial // 2, grid[1])
+    pos_embed_spatial = np.concatenate([emb_first, emb_second], axis=1)
 
     pos_embed_temporal = get_1d(embed_dim_temporal, np.arange(t_size, dtype=np.float32))
     pos_embed_temporal = np.repeat(

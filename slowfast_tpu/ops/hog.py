@@ -25,18 +25,15 @@ def hog_features(x, nbins=9, cell_sz=8):
     """
     B, H, W, C = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    kx = jnp.asarray(SOBEL_X).reshape(3, 3, 1, 1) * jnp.ones((1, 1, 1, C))
-    ky = jnp.asarray(SOBEL_X.T).reshape(3, 3, 1, 1) * jnp.ones((1, 1, 1, C))
-
-    def conv(inp, k):
-        return jax.lax.conv_general_dilated(
-            inp, k, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C,
-        )
-
-    gx = conv(xp, kx)
-    gy = conv(xp, ky)
+    # Separable Sobel as shift arithmetic, NOT a conv: at reflect borders the
+    # two smoothed columns/rows are bitwise identical, so their difference is
+    # an exact +0.0 — which keeps atan2's bin assignment (0 vs 8) in lockstep
+    # with the reference HOGLayerC; a reassociated conv sum leaves ±1e-7
+    # residue there and flips those border bins.
+    sm_v = xp[:, :-2] + 2.0 * xp[:, 1:-1] + xp[:, 2:]  # (B, H, W+2, C)
+    gx = sm_v[:, :, :-2] - sm_v[:, :, 2:]  # (B, H, W, C)
+    sm_h = xp[:, :, :-2] + 2.0 * xp[:, :, 1:-1] + xp[:, :, 2:]  # (B, H+2, W, C)
+    gy = sm_h[:, :-2] - sm_h[:, 2:]  # (B, H, W, C)
     norm = jnp.sqrt(gx * gx + gy * gy + 1e-12)  # (B,H,W,C)
     phase = jnp.arctan2(gx, gy) / math.pi * nbins  # [-nbins, nbins]
     bin_idx = jnp.floor(phase).astype(jnp.int32) % nbins

@@ -58,6 +58,16 @@ def mvit_no_weight_decay(cfg):
             names += ["rel_pos_t"]
         if cfg.MVIT.CLS_EMBED_ON:
             names.append("cls_token")
+        if cfg.MASK.ENABLE and cfg.MASK.DECODER_SEP_POS_EMBED:
+            # Reference masked.py no_weight_decay :134-143 excludes only the
+            # separated decoder tables (its joint-table name there,
+            # "pos_embed_decoder", never matches the real parameter
+            # "decoder_pos_embed", so the joint table IS decayed — kept).
+            names += [
+                "dec_pos_embed_spatial",
+                "dec_pos_embed_temporal",
+                "dec_pos_embed_class",
+            ]
     return names
 
 

@@ -333,6 +333,13 @@ def _torch_name_to_flax_path(name: str):
     name = re.sub(r"\bblocks\.(\d+)\.", r"blocks_\1.", name)
     name = re.sub(r"\blayers\.(\d+)\.", r"layers_\1.", name)
     name = re.sub(r"\bprojection\.(\d+)\.", r"projection_\1.", name)
+    # MSSeparateHead (masked models): transforms.{i}.{j} / projections.{i}
+    name = re.sub(
+        r"\bpred_head\.transforms\.(\d+)\.(\d+)\.", r"pred_head.transforms_\1_\2.", name
+    )
+    name = re.sub(
+        r"\bpred_head\.projections\.(\d+)\.", r"pred_head.projections_\1.", name
+    )
     parts = name.split(".")
     leaf = parts[-1]
     mods = parts[:-1]
@@ -344,7 +351,9 @@ def _torch_name_to_flax_path(name: str):
         return "batch_stats", mods, "mean"
     if leaf == "running_var":
         return "batch_stats", mods, "var"
-    if leaf in ("cls_token", "mask_token") or leaf.startswith(("pos_embed", "rel_pos")):
+    if leaf in ("cls_token", "mask_token") or leaf.startswith(
+        ("pos_embed", "rel_pos", "decoder_pos_embed", "dec_pos_embed")
+    ):
         # parameter attributes (not submodules)
         return "params", mods, leaf
     if leaf == "num_batches_tracked":

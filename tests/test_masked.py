@@ -247,7 +247,7 @@ def test_maskfeat_pretrain_to_finetune_checkpoint(tmp_path):
         head_before,
     )
     # ...and the checkpoint's pred_head/mask_token extras were dropped.
-    assert "pred_head_0" not in new_state.params
+    assert "pred_head" not in new_state.params
 
 
 def test_mae_train_step_learns():
@@ -261,6 +261,12 @@ def test_mae_train_step_learns():
     cfg.MASK.PRETRAIN_DEPTH = [1]
     cfg.MASK.DECODER_EMBED_DIM = 32
     cfg.MASK.DECODER_DEPTH = 1
+    cfg.AUG.MASK_RATIO = 0.75  # 0.9 of the 8-token test grid keeps nothing
+    # The step rng is folded with state.step, so the random mask differs
+    # every step; at the recipe's warmup LR (~1e-6 for the first 600 steps)
+    # 6 steps are pure noise. Train at a real LR to see learning.
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.SOLVER.BASE_LR = 1e-2
 
     model = build_model(cfg)
     variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=True)
