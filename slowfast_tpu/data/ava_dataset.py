@@ -4,6 +4,7 @@ import numpy as np
 
 from slowfast_tpu.utils import logging as logging_utils
 from . import ava_helper, cv2_transform
+from . import transform as T
 from . import utils as data_utils
 from .build import DATASET_REGISTRY
 
@@ -13,14 +14,9 @@ logger = logging_utils.get_logger(__name__)
 @DATASET_REGISTRY.register(name="Ava")
 class Ava:
     def __init__(self, cfg, split):
-        if cfg.AVA.IMG_PROC_BACKEND != "cv2":
-            # The torch tensor-transform backend is not implemented: the
-            # cv2 path is the reference default and the only one its AVA
-            # recipes use (reference ava_dataset.py:387-389).
-            raise NotImplementedError(
-                f"AVA.IMG_PROC_BACKEND={cfg.AVA.IMG_PROC_BACKEND!r}; "
-                "only 'cv2' is supported"
-            )
+        assert cfg.AVA.IMG_PROC_BACKEND in ("cv2", "pytorch"), (
+            cfg.AVA.IMG_PROC_BACKEND
+        )
         self.cfg = cfg
         self._split = split
         self._sample_rate = cfg.DATA.SAMPLING_RATE
@@ -135,6 +131,73 @@ class Ava:
         )
         return clip, boxes
 
+    def _images_and_boxes_preprocessing(self, imgs, boxes):
+        """Tensor-backend preprocessing (reference ava_dataset.py:237-337,
+        AVA.IMG_PROC_BACKEND="pytorch"), on a channels-last numpy clip.
+
+        ``imgs`` is the raw (T, H, W, C) uint8 stack in BGR order (as
+        decoded); every color op below runs in that order, exactly like the
+        reference, with the BGR->RGB reorder LAST — note this differs from
+        the cv2 backend above, which works in RGB throughout. Spatial ops
+        are the box-aware tensor transforms; randomness draws from np.random
+        in the reference's call order (size, crop y, crop x, flip), so a
+        seeded stream reproduces the reference sample-for-sample. The test
+        split scales without cropping (reference :291-302) — short side =
+        crop_size, long side free.
+        """
+        imgs = imgs.astype(np.float32) / 255.0
+        height, width = imgs.shape[1], imgs.shape[2]
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] *= width
+        boxes[:, [1, 3]] *= height
+        boxes = T.clip_boxes_to_image(boxes, height, width)
+
+        if self._split == "train":
+            imgs, boxes = T.random_short_side_scale_jitter(
+                imgs, self._jitter_min_scale, self._jitter_max_scale, boxes=boxes
+            )
+            imgs, boxes = T.random_crop(imgs, self._crop_size, boxes=boxes)
+            # The reference tensor path flips unconditionally at p=0.5
+            # (ava_dataset.py:271) — it does NOT consult DATA.RANDOM_FLIP
+            # the way its cv2 path does; mirrored for parity.
+            imgs, boxes = T.horizontal_flip(0.5, imgs, boxes=boxes)
+        elif self._split == "val":
+            imgs, boxes = T.random_short_side_scale_jitter(
+                imgs, self._crop_size, self._crop_size, boxes=boxes
+            )
+            imgs, boxes = T.uniform_crop_with_boxes(
+                imgs, self._crop_size, 1, boxes
+            )
+            if self._test_force_flip:
+                imgs, boxes = T.horizontal_flip(1.0, imgs, boxes=boxes)
+        else:
+            imgs, boxes = T.random_short_side_scale_jitter(
+                imgs, self._crop_size, self._crop_size, boxes=boxes
+            )
+            if self._test_force_flip:
+                imgs, boxes = T.horizontal_flip(1.0, imgs, boxes=boxes)
+
+        if self._split == "train" and self._use_color_augmentation:
+            # The jitter helpers assume RGB channel weights; run them on the
+            # reversed-channel view so the math lands on the right channels
+            # of this BGR clip (elementwise ops commute with the reorder).
+            if not self._pca_jitter_only:
+                imgs = T.color_jitter(imgs[..., ::-1], 0.4, 0.4, 0.4)[..., ::-1]
+            imgs = T.lighting_jitter(
+                imgs[..., ::-1],
+                0.1,
+                np.array(self.cfg.DATA.TRAIN_PCA_EIGVAL, np.float32),
+                np.array(self.cfg.DATA.TRAIN_PCA_EIGVEC, np.float32),
+            )[..., ::-1]
+
+        # Normalization indexes mean/std by raw channel position (BGR here),
+        # matching reference transform.color_normalization on the BGR clip.
+        imgs = T.color_normalization(imgs, self._data_mean, self._data_std)
+        if not self._use_bgr:
+            imgs = imgs[..., ::-1]
+        boxes = T.clip_boxes_to_image(boxes, self._crop_size, self._crop_size)
+        return np.ascontiguousarray(imgs), boxes
+
     def __getitem__(self, idx):
         video_idx, sec_idx, sec, center_idx = self._keyframe_indices[idx]
         seq = data_utils.get_sequence(
@@ -156,9 +219,15 @@ class Ava:
 
         image_paths = [self._image_paths[video_idx][frame] for frame in seq]
         imgs = data_utils.retry_load_images(image_paths)
-        imgs = [img[:, :, ::-1].astype(np.float32) for img in imgs]  # BGR->RGB
 
-        clip, boxes = self._images_and_boxes_preprocessing_cv2(imgs, boxes)
+        if self.cfg.AVA.IMG_PROC_BACKEND == "pytorch":
+            # Tensor path works on the raw BGR stack end to end.
+            clip, boxes = self._images_and_boxes_preprocessing(
+                np.stack(imgs), boxes
+            )
+        else:
+            imgs = [img[:, :, ::-1].astype(np.float32) for img in imgs]  # BGR->RGB
+            clip, boxes = self._images_and_boxes_preprocessing_cv2(imgs, boxes)
 
         # Binary label matrix (reference :400-408).
         label_arrs = np.zeros((len(labels), self._num_classes), np.int32)

@@ -30,39 +30,58 @@ def sample_jitter_size(min_size, max_size, inverse_uniform_sampling=False):
 
 
 def random_short_side_scale_jitter(
-    frames, min_size, max_size, inverse_uniform_sampling=False
+    frames, min_size, max_size, boxes=None, inverse_uniform_sampling=False
 ):
     """Scale the short side to a jittered size (reference transform.py:48-98).
 
-    frames: (T, H, W, C) float or uint8.
+    frames: (T, H, W, C) float or uint8. With ``boxes`` (N, 4) the boxes are
+    scaled isotropically by the resize factor and ``(frames, boxes)`` is
+    returned (frames alone otherwise, for the box-free callers). The size
+    draw uses np.random in the reference's call order so a seeded np.random
+    stream reproduces the reference's sampling exactly.
     """
-    size = sample_jitter_size(min_size, max_size, inverse_uniform_sampling)
+    if inverse_uniform_sampling:
+        size = int(round(1.0 / np.random.uniform(1.0 / max_size, 1.0 / min_size)))
+    else:
+        size = int(round(np.random.uniform(min_size, max_size)))
     h, w = frames.shape[1], frames.shape[2]
     if (w <= h and w == size) or (h <= w and h == size):
-        return frames
+        return frames if boxes is None else (frames, boxes)
     if w < h:
         new_w, new_h = size, int(math.floor(h / w * size))
+        factor = float(new_h) / h
     else:
         new_w, new_h = int(math.floor(w / h * size)), size
+        factor = float(new_w) / w
     out = np.stack([_interp(f, (new_w, new_h)) for f in frames])
-    return out
+    if boxes is None:
+        return out
+    return out, boxes * factor
 
 
-def random_crop(frames, size):
+def random_crop(frames, size, boxes=None):
     """(reference transform.py:120-149)"""
     h, w = frames.shape[1], frames.shape[2]
     if h == size and w == size:
-        return frames
-    y = random.randint(0, max(h - size, 0))
-    x = random.randint(0, max(w - size, 0))
-    return frames[:, y : y + size, x : x + size]
+        return frames if boxes is None else (frames, boxes)
+    y = int(np.random.randint(0, h - size)) if h > size else 0
+    x = int(np.random.randint(0, w - size)) if w > size else 0
+    out = frames[:, y : y + size, x : x + size]
+    if boxes is None:
+        return out
+    return out, crop_boxes(boxes, x, y)
 
 
-def horizontal_flip(prob, frames):
-    """(reference transform.py:152-184)"""
-    if random.random() < prob:
-        return frames[:, :, ::-1]
-    return frames
+def horizontal_flip(prob, frames, boxes=None):
+    """(reference transform.py:152-184). Box flip: x -> width - x - 1."""
+    if np.random.uniform() < prob:
+        w = frames.shape[2]
+        if boxes is not None:
+            flipped = boxes.copy()
+            flipped[:, [0, 2]] = w - boxes[:, [2, 0]] - 1
+            boxes = flipped
+        frames = frames[:, :, ::-1]
+    return frames if boxes is None else (frames, boxes)
 
 
 def uniform_crop(frames, size, spatial_idx):
@@ -195,19 +214,19 @@ def grayscale(frames):
 
 
 def brightness_jitter(var, frames):
-    alpha = 1.0 + random.uniform(-var, var)
+    alpha = 1.0 + np.random.uniform(-var, var)
     return blend(frames, np.zeros_like(frames), alpha)
 
 
 def contrast_jitter(var, frames):
-    alpha = 1.0 + random.uniform(-var, var)
+    alpha = 1.0 + np.random.uniform(-var, var)
     g = grayscale(frames)
     g[:] = g.mean(axis=(1, 2, 3), keepdims=True)
     return blend(frames, g, alpha)
 
 
 def saturation_jitter(var, frames):
-    alpha = 1.0 + random.uniform(-var, var)
+    alpha = 1.0 + np.random.uniform(-var, var)
     return blend(frames, grayscale(frames), alpha)
 
 
