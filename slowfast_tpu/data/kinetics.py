@@ -530,7 +530,11 @@ class Syntheticvideo:
                 "metadata": [[index, 900 + index]] * n,
             }
             return inputs, labels, index, np.zeros((1,)), meta
-        label = int(rng.randint(0, cfg.MODEL.NUM_CLASSES))
+        # In test mode every view of a video must carry the same label
+        # (TestMeter ensembles per video and checks consistency), so seed
+        # the label by video id, not clip id.
+        label_rng = np.random.RandomState(index // self._num_clips)
+        label = int(label_rng.randint(0, cfg.MODEL.NUM_CLASSES))
         num_aug = (
             cfg.AUG.NUM_SAMPLE
             if self.mode == "train" and cfg.AUG.ENABLE

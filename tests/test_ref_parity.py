@@ -235,3 +235,73 @@ def test_rev_mvit_parity():
     cfg = _my_cfg(overrides)
     x = np.random.RandomState(0).randn(2, 8, 32, 32, 3).astype(np.float32)
     _compare(ref_model, cfg, [x], atol=5e-4)
+
+
+def test_contrastive_backbone_parity(monkeypatch):
+    """ContrastiveModel (SimCLR) backbone+projector path: the reference's
+    eval forward with index=None returns the l2-normalized projection
+    (reference contrastive.py:692-701), which is exactly my
+    ContrastiveModel.__call__ output."""
+    from tests.ref_compat.loader import load_reference
+
+    load_reference()
+    import tempfile
+
+    import torch
+    from slowfast.models.contrastive import ContrastiveModel as RefCM
+    from slowfast.config.defaults import get_cfg as ref_get_cfg
+
+    # The reference constructor calls .cuda() on a softmax module
+    # (contrastive.py:61) and on the simclr pos/neg masks; run it on CPU.
+    monkeypatch.setattr(
+        torch.nn.Module, "cuda", lambda self, *a, **k: self, raising=False
+    )
+    monkeypatch.setattr(
+        torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False
+    )
+
+    overrides = [
+        "MODEL.MODEL_NAME", "ContrastiveModel", "MODEL.ARCH", "slow",
+        "MODEL.LOSS_FUNC", "contrastive_loss", "MODEL.HEAD_ACT", "none",
+        "MODEL.NUM_CLASSES", "16", "MODEL.DROPOUT_RATE", "0.0",
+        "TASK", "ssl",
+        "CONTRASTIVE.TYPE", "simclr", "CONTRASTIVE.DIM", "16",
+        "CONTRASTIVE.MLP_DIM", "32", "CONTRASTIVE.NUM_MLP_LAYERS", "2",
+        "CONTRASTIVE.BN_SYNC_MLP", "False", "CONTRASTIVE.BN_MLP", "True",
+        "CONTRASTIVE.KNN_ON", "False",
+        "RESNET.DEPTH", "18",
+        "RESNET.NUM_BLOCK_TEMP_KERNEL", "[[2],[2],[2],[2]]",
+        "DATA.NUM_FRAMES", "4", "DATA.TRAIN_CROP_SIZE", "32",
+        "DATA.TEST_CROP_SIZE", "32", "DATA.INPUT_CHANNEL_NUM", "[3]",
+    ]
+    rcfg = ref_get_cfg()
+    rcfg.merge_from_list(overrides)
+    rcfg.NUM_GPUS = 1
+    torch.manual_seed(0)
+    ref_model = RefCM(rcfg)
+    ref_model.eval()
+
+    cfg = _my_cfg(overrides)
+    model = build_model(cfg)
+    variables = init_model(model, cfg, rng=jax.random.PRNGKey(0), train=False)
+
+    with tempfile.NamedTemporaryFile(suffix=".pyth") as f:
+        torch.save({"model_state": ref_model.state_dict()}, f.name)
+        new_vars, missing, unexpected = load_torch_checkpoint(f.name, variables)
+    assert not missing, f"missing: {missing[:10]}"
+    assert not unexpected, f"unexpected: {unexpected[:10]}"
+
+    x = np.random.RandomState(0).randn(2, 4, 32, 32, 3).astype(np.float32)
+    t = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 4, 1, 2, 3)))
+    with torch.no_grad():
+        ref_q = ref_model([t], index=None).numpy()
+
+    my_q = np.asarray(
+        model.apply(
+            {"params": new_vars["params"], "batch_stats": new_vars["batch_stats"]},
+            [jnp.asarray(x)],
+            train=False,
+        )
+    )
+    assert my_q.shape == ref_q.shape
+    np.testing.assert_allclose(my_q, ref_q, rtol=1e-3, atol=2e-4)
