@@ -68,6 +68,10 @@ def test_person_detector_loads_fabricated_weights(tmp_path):
     weights (VERDICT r2 weak #6)."""
     torch = pytest.importorskip("torch")
     torchvision = pytest.importorskip("torchvision")
+    if getattr(torchvision, "__graft_stub__", False):
+        # The ref-compat parity harness leaves its torchvision shim in
+        # sys.modules; the real package is what this test exercises.
+        pytest.skip("only the ref_compat torchvision stub is importable")
 
     from slowfast_tpu.config import get_cfg
     from slowfast_tpu.visualization.demo import PersonDetector
