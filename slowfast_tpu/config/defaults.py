@@ -38,9 +38,12 @@ _C.CONTRASTIVE = CfgNode(
         MLP_DIM=2048,
         BN_MLP=False,
         BN_SYNC_MLP=False,
-        # Shuffle-BN is omitted by design: global-batch BN under GSPMD
-        # removes the per-GPU stats leakage it works around (see
-        # models/batchnorm.py). Accepted for config compatibility.
+        # Shuffle-BN: active for MoCo when BN.NORM_TYPE=sub_batchnorm
+        # (per-split local stats — engine/ssl_steps.py encode_keys); a
+        # no-op under plain/sync BN where GSPMD global-batch stats remove
+        # the leakage it works around (models/batchnorm.py). The
+        # local-vs-global shuffle distinction has no analogue in a
+        # single-program SPMD step; the key is accepted for compatibility.
         LOCAL_SHUFFLE_BN=True,
         MOCO_MULTI_VIEW_QUEUE=False,
         DELTA_CLIPS_MIN=-math.inf,

@@ -95,7 +95,10 @@ def spatial_sampling(
     if spatial_idx == -1:
         if aspect_ratio is None and scale is None:
             frames = transform.random_short_side_scale_jitter(
-                frames, min_scale, max_scale, inverse_uniform_sampling
+                frames,
+                min_scale,
+                max_scale,
+                inverse_uniform_sampling=inverse_uniform_sampling,
             )
             frames = transform.random_crop(frames, crop_size)
         else:

@@ -104,6 +104,50 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
             variables, xs, train=False, method=ContrastiveModel.encode
         )
 
+    # Shuffle-BN (reference _batch_shuffle/_batch_unshuffle,
+    # contrastive.py:169-226, gated at :86-93): the reference MoCo key
+    # encoder runs train-mode BN, so with per-GPU (local) statistics each
+    # key would be normalized by its own contiguous sub-batch — an
+    # intra-batch leak the shuffle breaks by permuting the GLOBAL key
+    # batch before the per-GPU slice. Under jit, plain/sync BN statistics
+    # are global-batch by construction (a permutation cancels in a global
+    # mean), so the shuffle only has an effect — and is only applied —
+    # when BN.NORM_TYPE is sub_batchnorm: BN.NUM_SPLITS plays the
+    # reference's per-GPU role, and the key forward runs with fresh
+    # per-split train-mode stats on a permuted batch, inverse-permuting
+    # the keys afterwards. BYOL is excluded exactly as the reference
+    # excludes it (:92). LOCAL_SHUFFLE_BN (host-local vs global shuffle)
+    # has no analogue in a single-program SPMD step — the global
+    # permutation subsumes both.
+    shuffle_bn = (
+        ssl_type == "moco"
+        and cfg.BN.NORM_TYPE == "sub_batchnorm"
+        and cfg.BN.NUM_SPLITS > 1
+    )
+
+    def encode_keys(hist_params, hist_stats, xs, r):
+        """Momentum-encoder keys, l2-normalized; shuffled sub-BN stats
+        when shuffle_bn else frozen EMA stats."""
+        if not shuffle_bn:
+            return encode_frozen({"backbone": hist_params}, hist_stats, xs)
+        B = xs[0].shape[0]
+        perm = jax.random.permutation(jax.random.fold_in(r, 17), B)
+        xs_sh = [x[perm] for x in xs]
+        variables = {
+            "params": {"backbone": hist_params},
+            "batch_stats": hist_stats,
+        }
+        out, _ = model.apply(
+            variables,
+            xs_sh,
+            train=True,
+            mutable=["batch_stats"],  # stat updates discarded: the hist
+            # encoder's running stats EMA from the query encoder instead
+            rngs={"dropout": jax.random.fold_in(r, 18)},
+            method=ContrastiveModel.encode,
+        )
+        return out[jnp.argsort(perm)]
+
     def step_fn(state: SSLTrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         r1, r2 = jax.random.split(rng)
@@ -116,8 +160,8 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
         hist_stats = ssl.get("hist_batch_stats", state.batch_stats)
 
         if ssl_type == "moco":
-            keys = encode_frozen(
-                {"backbone": ssl["hist_params"]}, hist_stats, batch["inputs2"]
+            keys = encode_keys(
+                ssl["hist_params"], hist_stats, batch["inputs2"], r2
             )
             keys = jax.lax.stop_gradient(keys)
 
@@ -316,10 +360,11 @@ def make_ssl_train_step(cfg, model: ContrastiveModel, tx, mesh=None,
                 # (reference _dequeue_and_enqueue extra_keys,
                 # contrastive.py:255-283).
                 keys_q_view = jax.lax.stop_gradient(
-                    encode_frozen(
-                        {"backbone": ssl["hist_params"]},
+                    encode_keys(
+                        ssl["hist_params"],
                         hist_stats,
                         batch["inputs"],
+                        jax.random.fold_in(r2, 1),
                     )
                 )
                 enq = jnp.concatenate([keys, keys_q_view], axis=0)

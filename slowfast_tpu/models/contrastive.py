@@ -8,8 +8,13 @@ functionally inside the jitted SSL train step (engine/ssl_steps.py).
 
 Shuffle-BN note: the reference shuffles the key batch across GPUs to break
 per-GPU BN statistics leakage, and disables it when global sync-BN is on
-(contrastive.py:84-91). Under GSPMD jit our BN statistics are global-batch
-by construction, so the shuffle is a no-op and is omitted.
+(contrastive.py:84-91). Under GSPMD jit our plain/sync BN statistics are
+global-batch by construction, so the shuffle cancels and the key encoder
+uses frozen EMA stats. With BN.NORM_TYPE=sub_batchnorm (local-stat
+semantics) the reference behavior IS reproduced: the SSL step permutes the
+global key batch, runs the momentum encoder with fresh per-split
+train-mode stats, and inverse-permutes the keys
+(engine/ssl_steps.py encode_keys).
 """
 
 from typing import Any

@@ -383,3 +383,105 @@ def test_moco_multi_view_queue_enqueues_all_views():
     state, m = step(state, _batch(cfg, b=4), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert int(state.ssl_state["ptr"]) == 8  # 2 views x B=4
+
+
+def test_moco_shuffle_bn_keys_match_manual_computation():
+    """Shuffle-BN (reference _batch_shuffle/_batch_unshuffle,
+    contrastive.py:169-226): with BN.NORM_TYPE=sub_batchnorm the MoCo key
+    encoder must permute the global key batch, run with fresh per-split
+    train-mode stats, and inverse-permute. Verified end to end by reading
+    the enqueued keys out of the queue after one step and reproducing
+    them manually with the same rng chain."""
+    from slowfast_tpu.models.build import dummy_inputs
+    from slowfast_tpu.models.contrastive import ContrastiveModel
+
+    cfg = _ssl_cfg("moco")
+    cfg.BN.NORM_TYPE = "sub_batchnorm"
+    cfg.BN.NUM_SPLITS = 2
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+    )
+    tx, _ = construct_optimizer(variables["params"], cfg, steps_per_epoch=10)
+    state = create_ssl_train_state(cfg, model, tx, rng=rng)
+    hist_params = state.ssl_state["hist_params"]
+    hist_stats = state.ssl_state.get("hist_batch_stats", state.batch_stats)
+
+    step = make_ssl_train_step(cfg, model, tx, steps_per_epoch=10, donate=False)
+    batch = _batch(cfg, b=4)
+    step_rng = jax.random.PRNGKey(1)
+    new_state, m = step(state, batch, step_rng)
+    assert np.isfinite(float(m["loss"]))
+    got = np.asarray(new_state.ssl_state["queue_x"][:4])
+
+    # Manual reproduction of encode_keys' rng chain (ssl_steps.py step_fn):
+    # fold in step index, split, shuffle from fold_in(r2, 17). Jitted so
+    # the numerics match the compiled step (eager rsqrt differs enough
+    # through a deep BN backbone to swamp a tolerance check).
+    r = jax.random.fold_in(step_rng, 0)
+    _r1, r2 = jax.random.split(r)
+    perm = jax.random.permutation(jax.random.fold_in(r2, 17), 4)
+    assert not np.array_equal(np.asarray(perm), np.arange(4))  # permutes
+
+    def manual(xs):
+        xs_sh = [x[perm] for x in xs]
+        out, _ = model.apply(
+            {"params": {"backbone": hist_params}, "batch_stats": hist_stats},
+            xs_sh,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(r2, 18)},
+            method=ContrastiveModel.encode,
+        )
+        return out[jnp.argsort(perm)]
+
+    want = np.asarray(jax.jit(manual)(batch["inputs2"]))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_moco_shuffle_bn_keys_use_batch_stats_only_under_sub_bn():
+    """Property split: under sub-BN the keys of sample 0 depend on the
+    rest of the key batch (train-mode batch statistics — the leakage the
+    shuffle randomizes); under the default global-BN path the key encoder
+    uses frozen EMA stats, so keys are per-sample functions."""
+    from slowfast_tpu.models.build import dummy_inputs
+
+    def keys_after_one_step(cfg, batch):
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        model.init(
+            {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+        )
+        variables = model.init(
+            {"params": rng, "dropout": rng}, dummy_inputs(cfg, 2), train=True
+        )
+        tx, _ = construct_optimizer(
+            variables["params"], cfg, steps_per_epoch=10
+        )
+        state = create_ssl_train_state(cfg, model, tx, rng=rng)
+        step = make_ssl_train_step(
+            cfg, model, tx, steps_per_epoch=10, donate=False
+        )
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        return np.asarray(state.ssl_state["queue_x"][:4])
+
+    base = _batch(cfg=_ssl_cfg("moco"), b=4)
+    perturbed = dict(base)
+    x2 = np.asarray(base["inputs2"][0]).copy()
+    x2[3] += 1.5  # perturb a DIFFERENT sample than the one we read
+    perturbed["inputs2"] = [jnp.asarray(x2)]
+
+    cfg = _ssl_cfg("moco")
+    cfg.BN.NORM_TYPE = "sub_batchnorm"
+    cfg.BN.NUM_SPLITS = 2
+    k_base = keys_after_one_step(cfg, base)
+    k_pert = keys_after_one_step(cfg, perturbed)
+    assert np.abs(k_base[0] - k_pert[0]).max() > 1e-6, (
+        "sub-BN shuffle keys must see batch statistics"
+    )
+
+    cfg = _ssl_cfg("moco")  # default: plain BN, frozen-stat keys
+    k_base = keys_after_one_step(cfg, base)
+    k_pert = keys_after_one_step(cfg, perturbed)
+    np.testing.assert_allclose(k_base[0], k_pert[0], rtol=1e-6, atol=1e-6)
