@@ -205,28 +205,38 @@ def _attention_core_fwd(q_in, k_in, vh):
     )
     s_q = jnp.transpose(s, (0, 2, 1, 3))  # (B, Nq, nh, 1)
     out = (o / s_q).astype(dtype)
-    return out, (q_in, k_in, vh, e16, s)
+    return out, (q_in, k_in, vh, e16, s, out)
 
 
 def _attention_core_bwd(res, do):
-    q_in, k_in, vh, e16, s = res
+    q_in, k_in, vh, e16, s, out = res
     dtype = vh.dtype
     s_q = jnp.transpose(s, (0, 2, 1, 3))  # (B, Nq, nh, 1)
     # Fold the softmax denominator into do once (small tensor): with
     # do_n = do/s, dv = e^T do_n and dpn = do_n v^T = dp/s, so
-    # dl = p (dp - <dp, p>) = e16 * (dpn - <dpn, e16>/s).
-    do_n = (do.astype(jnp.float32) / s_q).astype(dtype)
+    # dl = p (dp - <dp, p>) = e16 * (dpn - <dp, p>/s).
+    do32 = do.astype(jnp.float32)
+    do_n = (do32 / s_q).astype(dtype)
     dv = jnp.einsum(
         "bnqk,bqnc->bknc", e16, do_n, preferred_element_type=jnp.float32
     ).astype(dtype)
     dpn = jnp.einsum(
         "bqnc,bknc->bnqk", do_n, vh, preferred_element_type=jnp.float32
     )
-    # NOTE: forcing bf16 materialization of dpn/dl with optimization
-    # barriers was measured SLOWER (72.9 vs 74.4 clips/s) — XLA's fused
-    # recompute of this chain beats the extra round trips.
-    r = jnp.sum(dpn * e16.astype(jnp.float32), axis=-1, keepdims=True)
-    dl = (e16.astype(jnp.float32) * (dpn - r / s)).astype(dtype)
+    # Flash-attention "delta" trick: <dp, p> = rowsum(do * out) — an
+    # O(Nq*c) reduction over ALREADY-SMALL tensors instead of the
+    # O(Nq*Nk) fp32 product sum(dpn * e16) it replaces. That fp32 upcast
+    # of e16 plus the fp32 dl materialization were the two largest
+    # convert_element_type ops in the step profile (~2 GB of HBM traffic
+    # per early block); with D the entire (Nq, Nk) backward chain stays
+    # in the compute dtype: dpn's cast fuses into its matmul epilogue,
+    # and dl is produced directly in bf16.
+    # (An earlier variant forcing bf16 via optimization barriers around
+    # the fp32 chain measured SLOWER, 72.9 vs 74.4 clips/s — the win
+    # comes from never computing in fp32, not from converting earlier.)
+    d_row = jnp.sum(do32 * out.astype(jnp.float32), axis=-1, keepdims=True)
+    d_row = jnp.transpose(d_row, (0, 2, 1, 3))  # (B, nh, Nq, 1)
+    dl = e16 * (dpn.astype(dtype) - (d_row / s).astype(dtype))
     dq = jnp.einsum(
         "bnqk,bknc->bqnc", dl, k_in, preferred_element_type=jnp.float32
     ).astype(q_in.dtype)

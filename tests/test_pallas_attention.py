@@ -78,3 +78,33 @@ def test_fused_forward_and_grad_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
         )
+
+
+def test_attention_core_custom_vjp_matches_autodiff():
+    """models/attention._attention_core (the XLA production core with the
+    compute-dtype backward + flash-style delta trick) must match jax
+    autodiff of plain softmax attention in fp32, where every cast is a
+    no-op and the delta substitution <dp,p> = rowsum(do*out) is exact."""
+    from slowfast_tpu.models.attention import _attention_core
+
+    rng = jax.random.PRNGKey(1)
+    B, Nq, Nk, nh, c = 2, 33, 9, 2, 8
+    ks = jax.random.split(rng, 3)
+    qh = jax.random.normal(ks[0], (B, Nq, nh, c), jnp.float32) * 0.7
+    kh = jax.random.normal(ks[1], (B, Nk, nh, c), jnp.float32) * 0.7
+    vh = jax.random.normal(ks[2], (B, Nk, nh, c), jnp.float32)
+
+    got = _attention_core(qh, kh, vh)
+    want = _ref(qh, kh, vh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+    f1 = lambda q, k, v: jnp.sum(jnp.sin(_attention_core(q, k, v)))
+    f2 = lambda q, k, v: jnp.sum(jnp.sin(_ref(q, k, v)))
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(qh, kh, vh)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(qh, kh, vh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
