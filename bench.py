@@ -482,36 +482,15 @@ def bench_e2e_input_pipeline():
     it behind 8 DataLoader workers per GPU on many-core nodes); the loader-
     only rate is reported alongside so the bottleneck is attributable.
     """
-    import tempfile
-
-    import cv2
-    import numpy as np
     import jax
+    import numpy as np
 
     from __graft_entry__ import _flagship_cfg
     from slowfast_tpu.data import construct_loader
+    from slowfast_tpu.data.synth_media import make_video_corpus
     from slowfast_tpu.parallel import mesh as mesh_lib
 
-    d = tempfile.mkdtemp()
-    rs = np.random.RandomState(0)
-    n_videos = 32
-    with open(os.path.join(d, "train.csv"), "w") as f:
-        for i in range(n_videos):
-            path = os.path.join(d, f"v{i:03d}.mp4")
-            wr = cv2.VideoWriter(
-                path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (340, 256)
-            )
-            frame = (rs.rand(256, 340, 3) * 255).astype(np.uint8)
-            for _ in range(140):
-                # cheap motion: roll the same frame
-                frame = np.roll(frame, 3, axis=1)
-                wr.write(frame)
-            wr.release()
-            f.write(f"{path} {i % 10}\n")
-    for split in ("val", "test"):
-        os.symlink(
-            os.path.join(d, "train.csv"), os.path.join(d, f"{split}.csv")
-        )
+    d = make_video_corpus(n_videos=32)
 
     cfg = _flagship_cfg()
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"

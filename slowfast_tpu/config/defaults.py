@@ -359,6 +359,12 @@ _C.DATA = CfgNode(
         # TPU addition: fuse the train-time short-side scale jitter into
         # the native decoder's sws_scale (one image pass on the host).
         DECODE_AT_SCALE=True,
+        # TPU addition: additionally fuse the random CROP into that same
+        # sws_scale (decoder emits (T, crop, crop) directly; host aug
+        # reduces to the horizontal flip). Uint8-pipeline train path only;
+        # crop-then-resize equals resize-then-crop up to bilinear subpixel
+        # phase, so the augmentation distribution is unchanged.
+        FUSED_DECODE_CROP=True,
         INV_UNIFORM_SAMPLE=False,
         RANDOM_FLIP=True,
         MULTI_LABEL=False,

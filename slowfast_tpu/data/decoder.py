@@ -120,6 +120,9 @@ def decode_native(
     n_views=1,
     min_delta=-math.inf,
     max_delta=math.inf,
+    crop_size=0,
+    crop_fx=0.5,
+    crop_fy=0.5,
 ):
     """Exact PTS-window decode via the native FFmpeg service.
 
@@ -168,8 +171,27 @@ def decode_native(
             windows.append((s, e))
             fracs.append(frac)
 
+    # Temporal-selection push-down: the at-or-after-floor(target) emission
+    # rule in C picks EXACTLY the frames _sample_positions would select, so
+    # the sws_scale + memcpy of dropped in-window frames is never paid
+    # (sampling_rate-2 recipes decode 2x the frames they keep).
+    wanted = np.unique(
+        np.concatenate(
+            [
+                np.floor(
+                    np.clip(np.linspace(s, e, num_frames), 0, None)
+                ).astype(np.int64)
+                for s, e in windows
+            ]
+        )
+    )
+    crop = None
+    if crop_size > 0 and max_spatial_scale > 0:
+        # Fused decode-time crop (train path): output is (crop, crop).
+        crop = (crop_size, crop_size, crop_fx, crop_fy)
     view = native_video.decode_windows_view(
-        source, windows, short_side=max_spatial_scale
+        source, windows, short_side=max_spatial_scale, wanted=wanted,
+        crop=crop,
     )
     if view is None:
         return None
@@ -201,6 +223,9 @@ def decode(
     max_spatial_scale=0,
     use_offset=False,
     backend="native",
+    crop_size=0,
+    crop_fx=0.5,
+    crop_fy=0.5,
 ):
     """Decode a clip from a video file (reference decoder.py:452-616).
 
@@ -230,6 +255,9 @@ def decode(
                 target_fps=target_fps,
                 max_spatial_scale=max_spatial_scale,
                 use_offset=use_offset,
+                crop_size=crop_size,
+                crop_fx=crop_fx,
+                crop_fy=crop_fy,
             )
             if result is not None:
                 return result

@@ -167,6 +167,24 @@ class Kinetics:
                 min_scale, max_scale, cfg.DATA.INV_UNIFORM_SAMPLE
             )
             min_scale = max_scale = decode_at_scale
+        # Fused decode-time crop (DATA.FUSED_DECODE_CROP): with the jitter
+        # size already fixed per sample, draw the random-crop placement too
+        # and let the native decoder emit exactly (T, crop, crop) via one
+        # sws_scale from the source sub-rectangle — ~3x less scale+memcpy
+        # work than scale-full-then-crop. Host augmentation reduces to the
+        # horizontal flip. Gated to the uint8 pipeline (the float path
+        # stays bit-reproducible vs the reference transform order) and off
+        # under AUG/SSL recipes whose per-frame ops need the full frame.
+        fused_crop = 0
+        if (
+            decode_at_scale
+            and cfg.DATA.FUSED_DECODE_CROP
+            and cfg.TPU.UINT8_PIPELINE
+            and not cfg.AUG.ENABLE
+            and not cfg.DATA.SSL_COLOR_JITTER
+            and not cfg.DATA.TRAIN_JITTER_MOTION_SHIFT
+        ):
+            fused_crop = crop_size
         for i_try in range(self._num_retries):
             result = decoder.decode(
                 self._path_to_videos[index],
@@ -182,6 +200,9 @@ class Kinetics:
                 ),
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
                 backend=cfg.DATA.DECODING_BACKEND,
+                crop_size=fused_crop,
+                crop_fx=random.random(),
+                crop_fy=random.random(),
             )
             if result is None:
                 logger.warning(
@@ -331,7 +352,18 @@ class Kinetics:
             return f_out, l_out, i_out, t_out, m_out
 
         frames = self._process_clip(
-            frames, spatial_sample_index, min_scale, max_scale, crop_size
+            frames,
+            spatial_sample_index,
+            min_scale,
+            max_scale,
+            crop_size,
+            # The fused crop can fall back (cv2 backend, exotic pixel
+            # format, undersized frame): trust the emitted dims, not the
+            # request.
+            pre_cropped=(
+                fused_crop > 0
+                and np.asarray(frames).shape[1:3] == (crop_size, crop_size)
+            ),
         )
         meta = {}
         if cfg.AUG.GEN_MASK_LOADER:
@@ -344,7 +376,13 @@ class Kinetics:
         return gen_mask(self.cfg)
 
     def _process_clip(
-        self, frames, spatial_sample_index, min_scale, max_scale, crop_size
+        self,
+        frames,
+        spatial_sample_index,
+        min_scale,
+        max_scale,
+        crop_size,
+        pre_cropped=False,
     ):
         cfg = self.cfg
         # Float frames arrive in 0..255 units (the SSL raw-frame time-diff
@@ -395,20 +433,31 @@ class Kinetics:
         elif frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)
         scl, asp = cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE, cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE
-        frames = data_utils.spatial_sampling(
-            frames,
-            spatial_idx=spatial_sample_index,
-            min_scale=min_scale,
-            max_scale=max_scale,
-            crop_size=crop_size,
-            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
-            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
-            aspect_ratio=asp if asp else None,
-            scale=scl if scl else None,
-            motion_shift=(
-                cfg.DATA.TRAIN_JITTER_MOTION_SHIFT if self.mode == "train" else False
-            ),
-        )
+        if pre_cropped:
+            # Fused decode-time crop (DATA.FUSED_DECODE_CROP): the native
+            # decoder already emitted the (T, crop, crop) window at scale;
+            # only the horizontal flip remains on host.
+            if cfg.DATA.RANDOM_FLIP:
+                from . import transform
+
+                frames = transform.horizontal_flip(0.5, frames)
+        else:
+            frames = data_utils.spatial_sampling(
+                frames,
+                spatial_idx=spatial_sample_index,
+                min_scale=min_scale,
+                max_scale=max_scale,
+                crop_size=crop_size,
+                random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+                inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+                aspect_ratio=asp if asp else None,
+                scale=scl if scl else None,
+                motion_shift=(
+                    cfg.DATA.TRAIN_JITTER_MOTION_SHIFT
+                    if self.mode == "train"
+                    else False
+                ),
+            )
         if self.mode == "train" and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0:
             from .random_erasing import RandomErasing
 

@@ -52,6 +52,15 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.svd_decode.restype = ctypes.c_void_p
+            lib.svd_decode2.argtypes = [
+                c_u8p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.svd_decode2.restype = ctypes.c_void_p
             lib.svd_result_free.argtypes = [ctypes.c_void_p]
             lib.svd_result_data.argtypes = [ctypes.c_void_p]
             lib.svd_result_data.restype = ctypes.c_void_p
@@ -153,13 +162,24 @@ class DecodedWindows:
         self.close()
 
 
-def decode_windows_view(source, windows, short_side=0):
+def decode_windows_view(source, windows, short_side=0, wanted=None, crop=None):
     """Decode frame-index windows from a path or in-memory bytes.
 
     One packet sweep covers all windows (the reference's multi-clip
     single-pass, slowfast/datasets/decoder.py:228-370). ``windows`` is a
     list of (start_idx, end_idx) floats in the frame-index domain; an
     empty list decodes the whole video.
+
+    ``wanted`` (sorted unique int frame indices): emit only the first
+    decoded frame at-or-after each target — the linspace temporal
+    sampling pushed down into C, skipping the sws_scale of frames the
+    sampler would drop.
+
+    ``crop`` = (crop_w, crop_h, fx, fy): fuse the random crop into the
+    decode-time scale (one sws_scale from the matching source
+    sub-rectangle to exactly crop_w x crop_h; fx/fy in [0,1] place the
+    crop). Requires short_side > 0. Falls back silently to the plain
+    scaled output for unsupported pixel formats — check the result dims.
 
     Returns a DecodedWindows (caller must close) or None on failure.
     """
@@ -171,12 +191,20 @@ def decode_windows_view(source, windows, short_side=0):
         np.asarray(windows, dtype=np.float64).reshape(-1)
     )
     err = ctypes.c_int()
-    res = lib.svd_decode(
+    wanted_ptr, n_wanted, wkeep = None, 0, None
+    if wanted is not None and len(wanted):
+        wkeep = np.ascontiguousarray(np.asarray(wanted, dtype=np.int64))
+        wanted_ptr = wkeep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        n_wanted = len(wkeep)
+    cw, ch, fx, fy = (0, 0, 0.0, 0.0) if crop is None else crop
+    res = lib.svd_decode2(
         mem, size, path,
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        len(windows), int(short_side), ctypes.byref(err),
+        len(windows), int(short_side),
+        wanted_ptr, n_wanted, int(cw), int(ch), float(fx), float(fy),
+        ctypes.byref(err),
     )
-    del keep
+    del keep, wkeep
     if not res:
         return None
     return DecodedWindows(lib, res)

@@ -26,6 +26,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -92,11 +93,28 @@ int64_t svd_result_nb_frames(SvdResult* r) { return r->nb_frames; }
 // in a single packet sweep. n_windows == 0 decodes the whole video.
 // Exactly one of `mem` (with mem_size) or `path` must be set.
 // short_side > 0 resizes so min(h,w) == short_side (only shrinks, matching
-// the reference's decode-time max_spatial_scale).
+// the reference's decode-time max_spatial_scale, UNLESS a fused crop is
+// active — see below — where up-scale jitter sizes are honored too).
+//
+// wanted/n_wanted (may be null/0): sorted unique target frame indices.
+// Only the FIRST decoded frame at-or-after each target is emitted —
+// exactly the python-side linspace selection (decoder._sample_positions:
+// searchsorted of floor(targets) over kept indices), so the sws_scale +
+// memcpy cost of frames the sampler would drop is never paid.
+//
+// crop_w/crop_h > 0 fuse the train-time random crop INTO the scale: the
+// output is exactly (crop_w, crop_h) per frame, produced by one
+// sws_scale from the matching source sub-rectangle (chroma-aligned).
+// crop_fx/crop_fy in [0,1] place the crop within the valid range of the
+// SCALED image, matching the host path's uniform crop draw. Unsupported
+// pixel formats or undersized frames fall back to the plain scale path
+// (the caller detects via the result dims and crops on host).
 // err: 0 ok; negative AVERROR or small positive internal code.
-SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
-                      const double* windows, int n_windows, int short_side,
-                      int* err) {
+SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
+                       const double* windows, int n_windows, int short_side,
+                       const int64_t* wanted, int n_wanted,
+                       int crop_w, int crop_h, double crop_fx, double crop_fy,
+                       int* err) {
   *err = 0;
   AVFormatContext* fmt = avformat_alloc_context();
   AVIOContext* avio = nullptr;
@@ -198,6 +216,11 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
   bool done = false;
   bool oom = false;
   size_t cur_win = 0;
+  int wptr = 0;  // next un-emitted entry of `wanted`
+  // Fused-crop state, resolved on the first decoded frame.
+  bool crop_active = false;
+  int src_x = 0, src_y = 0, src_w = -1, src_h = -1;
+  int sub_x = 0, sub_y = 0;
   int64_t want_seek = -1;
   int64_t last_seek_target = min_f;
   // Gap (frames) beyond which re-seeking beats decoding through; ~1 GOP
@@ -230,22 +253,71 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
     // A skip-seek can land on a keyframe before frames already emitted;
     // kept indices must stay strictly increasing.
     if (!idxs.empty() && fidx <= idxs.back()) return;
+    if (n_wanted > 0) {
+      if (wptr >= n_wanted) { done = true; return; }
+      if (fidx < wanted[wptr]) return;  // sampler would drop this frame
+      // Emit once; a frame can satisfy several targets (dropped frames),
+      // which the python side re-expands into duplicates.
+      while (wptr < n_wanted && wanted[wptr] <= fidx) wptr++;
+    }
     if (out_w < 0) {
-      out_w = f->width;
-      out_h = f->height;
-      if (short_side > 0) {
-        int short_in = f->width < f->height ? f->width : f->height;
-        if (short_in > short_side) {
-          double sc = (double)short_side / short_in;
-          out_w = (int)lround(f->width * sc);
-          out_h = (int)lround(f->height * sc);
+      // Fused crop: one sws_scale from the source sub-rectangle straight
+      // to (crop_w, crop_h). Only 8-bit planar YUV / gray (the universal
+      // web-video formats); anything else falls back to the plain path.
+      if (crop_w > 0 && crop_h > 0 && short_side > 0) {
+        const AVPixFmtDescriptor* d =
+            av_pix_fmt_desc_get((AVPixelFormat)f->format);
+        bool fmt_ok =
+            d != nullptr && d->nb_components <= 3 && d->comp[0].depth == 8 &&
+            !(d->flags & (AV_PIX_FMT_FLAG_RGB | AV_PIX_FMT_FLAG_BITSTREAM |
+                          AV_PIX_FMT_FLAG_PAL | AV_PIX_FMT_FLAG_HWACCEL)) &&
+            (d->nb_components == 1 || (d->flags & AV_PIX_FMT_FLAG_PLANAR));
+        if (fmt_ok) {
+          int short_in = f->width < f->height ? f->width : f->height;
+          double sc = (double)short_side / short_in;  // up-scales too
+          int scaled_w = (int)lround(f->width * sc);
+          int scaled_h = (int)lround(f->height * sc);
+          if (scaled_w >= crop_w && scaled_h >= crop_h) {
+            sub_x = d->log2_chroma_w;
+            sub_y = d->log2_chroma_h;
+            double inv = 1.0 / sc;
+            int cx_s = (int)lround(crop_fx * (scaled_w - crop_w));
+            int cy_s = (int)lround(crop_fy * (scaled_h - crop_h));
+            src_x = ((int)lround(cx_s * inv)) & ~((1 << sub_x) - 1);
+            src_y = ((int)lround(cy_s * inv)) & ~((1 << sub_y) - 1);
+            src_w = (int)lround(crop_w * inv);
+            src_h = (int)lround(crop_h * inv);
+            if (src_w < 1) src_w = 1;
+            if (src_h < 1) src_h = 1;
+            if (src_x + src_w > f->width) src_x = f->width - src_w;
+            if (src_y + src_h > f->height) src_y = f->height - src_h;
+            if (src_x >= 0 && src_y >= 0) {
+              crop_active = true;
+              out_w = crop_w;
+              out_h = crop_h;
+            }
+          }
+        }
+      }
+      if (!crop_active) {
+        out_w = f->width;
+        out_h = f->height;
+        if (short_side > 0) {
+          int short_in = f->width < f->height ? f->width : f->height;
+          if (short_in > short_side) {
+            double sc = (double)short_side / short_in;
+            out_w = (int)lround(f->width * sc);
+            out_h = (int)lround(f->height * sc);
+          }
         }
       }
     }
     if (!sws || f->width != sws_in_w || f->height != sws_in_h ||
         f->format != sws_in_fmt) {
       if (sws) sws_freeContext(sws);
-      sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
+      sws = sws_getContext(crop_active ? src_w : f->width,
+                           crop_active ? src_h : f->height,
+                           (AVPixelFormat)f->format,
                            out_w, out_h, AV_PIX_FMT_RGB24,
                            SWS_FAST_BILINEAR, nullptr,
                            nullptr, nullptr);
@@ -257,7 +329,9 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
     if (out == nullptr && !oom) {
       // Allocate the expected total up front; growth would copy.
       int64_t expect = 0;
-      if (n_windows > 0)
+      if (n_wanted > 0)
+        expect = n_wanted;
+      else if (n_windows > 0)
         for (auto& w : wins) expect += w.second - w.first + 1;
       else
         expect = nb_frames > 0 ? nb_frames : 64;
@@ -280,7 +354,20 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
     }
     uint8_t* dst[1] = {out + out_len};
     int dst_ls[1] = {out_w * 3};
-    sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_ls);
+    if (crop_active) {
+      // Offset each plane pointer to the (chroma-aligned) crop origin;
+      // linesizes are unchanged, sws reads src_h rows of src_w pixels.
+      const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int p = 0; p < 4; p++) {
+        if (f->data[p] == nullptr) continue;
+        int px = p == 1 || p == 2 ? src_x >> sub_x : src_x;
+        int py = p == 1 || p == 2 ? src_y >> sub_y : src_y;
+        src_data[p] = f->data[p] + (ptrdiff_t)py * f->linesize[p] + px;
+      }
+      sws_scale(sws, src_data, f->linesize, 0, src_h, dst, dst_ls);
+    } else {
+      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_ls);
+    }
     out_len += frame_bytes;
     idxs.push_back(fidx);
   };
@@ -340,6 +427,14 @@ SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
   r->frame_idx = fidx_buf;
   memcpy(r->frame_idx, idxs.data(), idxs.size() * sizeof(int64_t));
   return r;
+}
+
+// Back-compat entry point: full-window emit, no fused crop.
+SvdResult* svd_decode(const uint8_t* mem, int64_t mem_size, const char* path,
+                      const double* windows, int n_windows, int short_side,
+                      int* err) {
+  return svd_decode2(mem, mem_size, path, windows, n_windows, short_side,
+                     nullptr, 0, 0, 0, 0.0, 0.0, err);
 }
 
 // Probe stream metadata without decoding frames.

