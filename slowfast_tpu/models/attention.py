@@ -168,6 +168,46 @@ def _augment_qk_relpos(q, k, scale, has_cls, q_shape, k_shape,
     return q_aug, k_aug
 
 
+class _QKVProj(nn.Module):
+    """Fused-parameter qkv projection computed as THREE gemms over weight
+    slices.
+
+    Parameter layout is identical to ``nn.Dense(3*features, name="qkv")``
+    (one (C, 3C) kernel + (3C,) bias), so checkpoints and the reference
+    import path (attention.py:173 ``self.qkv``) are unchanged — but the
+    (B, N, 3C) activation is never materialized and re-sliced: the step
+    profile showed those slices as a full extra HBM round trip of the
+    widest activation in every early attention block. Slicing the (C, 3C)
+    WEIGHT instead is ~N/C times cheaper.
+    """
+
+    features: int  # per-member output dim
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        F = self.features
+        kernel = self.param("kernel", trunc02, (C, 3 * F), jnp.float32)
+        bias = (
+            self.param("bias", bias02, (3 * F,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        outs = []
+        for i in range(3):
+            w = jax.lax.slice_in_dim(kernel, i * F, (i + 1) * F, axis=1)
+            o = x @ w
+            if bias is not None:
+                o = o + jax.lax.slice_in_dim(bias, i * F, (i + 1) * F, axis=0)
+            outs.append(o)
+        return outs
+
+
 @jax.custom_vjp
 def _attention_core(q_in, k_in, vh):
     """softmax(q k^T) v with compute-dtype HBM intermediates.
@@ -341,9 +381,14 @@ class MultiScaleAttention(nn.Module):
             q = k = v = x
         else:
             if not self.separate_qkv:
-                qkv = dense(self.dim_out * 3, "qkv")(x)
-                # feature decomposition (3, heads, d): member-major slices.
-                q, k, v = jnp.split(qkv, 3, axis=-1)
+                # feature decomposition (3, heads, d): member-major
+                # weight slices, three gemms (see _QKVProj).
+                q, k, v = _QKVProj(
+                    self.dim_out,
+                    use_bias=self.qkv_bias,
+                    dtype=self.dtype,
+                    name="qkv",
+                )(x)
             else:
                 q = dense(self.dim_out, "q")(x)
                 k = dense(self.dim_out, "k")(x)
@@ -437,13 +482,19 @@ class MultiScaleAttention(nn.Module):
 
             xo = pooled_attention(q_in, k_in, vh).astype(v.dtype)
         elif self.fused_attention and jax.default_backend() == "tpu":
-            # Aligned fused kernel: fp32 logits never reach HBM; only the
-            # compute-dtype e16 numerator is saved for backward.
+            # True-flash kernel: NO (Nq, Nk) tensor in HBM in either pass
+            # (the backward recomputes probabilities per q-tile in VMEM).
+            # MEASURED NEGATIVE on v5e (kept for A/B, off by default):
+            # 76.4 vs 95.7 clips/s MViTv2-S — the XLA path's attention
+            # dots already stream at ~610 GB/s (~81% of effective HBM
+            # peak) and fuse exp/scale into the matmul epilogues, while
+            # the custom-call boundary un-fuses the surrounding chains
+            # and pays rel-pos-augmented per-head padding copies.
             from slowfast_tpu.ops.pallas_attention import (
-                fused_pooled_attention,
+                flash_pooled_attention,
             )
 
-            xo = fused_pooled_attention(
+            xo = flash_pooled_attention(
                 q_in, k_in, vh.astype(q_in.dtype)
             )
         else:

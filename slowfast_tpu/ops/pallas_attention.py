@@ -372,6 +372,161 @@ def _fused_attention_bwd(nh, bq, interpret, res, do):
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # (bq, dqp)
+    k = k_ref[0]  # (Nk, dqp)
+    v = v_ref[0]  # (Nk, dvp)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    e = jnp.exp(jnp.minimum(logits, 50.0) - 20.0)
+    e16 = e.astype(v.dtype)
+    s = jnp.maximum(jnp.sum(e16.astype(jnp.float32), axis=1, keepdims=True),
+                    1e-30)
+    o = jax.lax.dot_general(
+        e16, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / s).astype(o_ref.dtype)
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, nq_real, bq):
+    j = pl.program_id(2)
+    # Rows beyond Nq in the last tile read undefined memory: SELECT every
+    # garbage-read operand to zero before any matmul (0*NaN = NaN).
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + j * bq < nq_real
+    )
+    q = jnp.where(valid, q_ref[0], 0)
+    k = k_ref[0]
+    v = v_ref[0]
+    # Recompute the probability numerator IN VMEM — the flash move. The
+    # recompute is bit-identical to the forward (same inputs, same ops),
+    # so gradients match the saved-e16 kernel exactly while the (Nq, Nk)
+    # tensor never exists in HBM in either pass.
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    e16 = jnp.where(valid, jnp.exp(jnp.minimum(logits, 50.0) - 20.0), 0.0
+                    ).astype(v.dtype)
+    ef = e16.astype(jnp.float32)
+    s = jnp.maximum(jnp.sum(ef, axis=1, keepdims=True), 1e-30)
+    do = do_ref[0].astype(jnp.float32)
+    do_n = jnp.where(valid, do / s, 0.0).astype(do_ref.dtype)  # (bq, dvp)
+
+    dv = jax.lax.dot_general(
+        e16, do_n, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nk, dvp)
+    dpn = jax.lax.dot_general(
+        do_n, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, Nk)
+    r = jnp.sum(dpn * ef, axis=1, keepdims=True)
+    dl = jnp.where(valid, ef * (dpn - r / s), 0.0).astype(q.dtype)
+
+    dq = jax.lax.dot_general(
+        dl, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(
+        dl, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nk, dqp)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, nh, bq, interpret):
+    out, _ = _flash_attention_fwd(q, k, v, nh, bq, interpret)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, nh, bq, interpret):
+    B, Nq, DQ = q.shape
+    _, Nk, DV = v.shape
+    dqp, dvp = DQ // nh, DV // nh
+    grid = (B, nh, pl.cdiv(Nq, bq))
+    out = pl.pallas_call(
+        _flash_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dqp), lambda b, h, j: (b, j, h)),
+            pl.BlockSpec((1, Nk, dqp), lambda b, h, j: (b, 0, h)),
+            pl.BlockSpec((1, Nk, dvp), lambda b, h, j: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dvp), lambda b, h, j: (b, j, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, DV), v.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _flash_attention_bwd(nh, bq, interpret, res, do):
+    q, k, v = res
+    B, Nq, DQ = q.shape
+    _, Nk, DV = v.shape
+    dqp, dvp = DQ // nh, DV // nh
+    grid = (B, nh, pl.cdiv(Nq, bq))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, nq_real=Nq, bq=bq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dqp), lambda b, h, j: (b, j, h)),
+            pl.BlockSpec((1, Nk, dqp), lambda b, h, j: (b, 0, h)),
+            pl.BlockSpec((1, Nk, dvp), lambda b, h, j: (b, 0, h)),
+            pl.BlockSpec((1, bq, dvp), lambda b, h, j: (b, j, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dqp), lambda b, h, j: (b, j, h)),
+            pl.BlockSpec((1, Nk, dqp), lambda b, h, j: (b, 0, h)),
+            pl.BlockSpec((1, Nk, dvp), lambda b, h, j: (b, 0, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_pooled_attention(qh, kh, vh, block_q=512, interpret=None):
+    """softmax(q k^T) v, TRUE flash: no (Nq, Nk) tensor in HBM in EITHER
+    pass — the backward recomputes the probability numerator per q-tile in
+    VMEM from the (q, k, v) residuals. Replaces the saved-e16 fused kernel
+    for training (that one still paid a full (B, nh, Nq, Nk) HBM write +
+    read, the dominant term of the step's traffic).
+
+    qh/kh: (B, N, nh, d) pre-scaled (+rel-pos-augmented); vh: (B, Nk, nh,
+    dv). Returns (B, Nq, nh, dv).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Nq, nh, dq = qh.shape
+    Nk = kh.shape[1]
+    dv = vh.shape[-1]
+    dqp = dq + (-dq) % LANES
+    dvp = dv + (-dv) % LANES
+    q = _pad_to(qh, 3, LANES).reshape(B, Nq, nh * dqp)
+    k = _pad_to(kh, 3, LANES).reshape(B, Nk, nh * dqp)
+    v = _pad_to(vh, 3, LANES).reshape(B, Nk, nh * dvp)
+    bq = _fused_block_q(Nk, block_q, jnp.dtype(vh.dtype).itemsize)
+    out = _flash_attention(q, k, v, nh, bq, interpret)
+    out = out.reshape(B, Nq, nh, dvp)
+    if dvp != dv:
+        out = out[..., :dv]
+    return out
+
+
 def fused_pooled_attention(qh, kh, vh, block_q=512, interpret=None):
     """softmax(q k^T) v for flat-layout heads via the aligned fused kernel.
 

@@ -108,3 +108,35 @@ def test_attention_core_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
         )
+
+
+def test_flash_forward_and_grad_parity():
+    """True-flash kernel (flash_pooled_attention: no (Nq,Nk) residual,
+    backward recomputes probabilities in VMEM) vs XLA."""
+    from slowfast_tpu.ops.pallas_attention import flash_pooled_attention
+
+    rng = jax.random.PRNGKey(2)
+    # Nq NOT a multiple of block_q (partial-tile masking, cls +1 case),
+    # Nk/dq/dv non-aligned.
+    B, Nq, Nk, nh, dq, dv = 2, 131, 13, 2, 24, 16
+    ks = jax.random.split(rng, 3)
+    qh = jax.random.normal(ks[0], (B, Nq, nh, dq), jnp.float32) * 0.5
+    kh = jax.random.normal(ks[1], (B, Nk, nh, dq), jnp.float32) * 0.5
+    vh = jax.random.normal(ks[2], (B, Nk, nh, dv), jnp.float32)
+
+    got = flash_pooled_attention(qh, kh, vh, block_q=128, interpret=True)
+    want = _ref(qh, kh, vh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+    f1 = lambda q, k, v: jnp.sum(
+        jnp.sin(flash_pooled_attention(q, k, v, block_q=128, interpret=True))
+    )
+    f2 = lambda q, k, v: jnp.sum(jnp.sin(_ref(q, k, v)))
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(qh, kh, vh)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(qh, kh, vh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
