@@ -531,10 +531,12 @@ def bench_e2e_input_pipeline():
     )
     x = jnp.asarray(probe)
     float(x[0])  # warm + force
-    t0 = time.time()
-    x = jnp.asarray(probe)
-    float(x[-1])
-    h2d_mbps = 32.0 / max(time.time() - t0, 1e-9)
+    h2d_mbps = 0.0
+    for _ in range(3):  # tunnel throughput is noisy; best-of-3
+        t0 = time.time()
+        x = jnp.asarray(probe)
+        float(x[-1])
+        h2d_mbps = max(h2d_mbps, 32.0 / max(time.time() - t0, 1e-9))
 
     print("bench: e2e loop...", file=sys.stderr, flush=True)
     # H2D/compute overlap as in the real trainer (engine/trainer.py):
@@ -561,7 +563,12 @@ def bench_e2e_input_pipeline():
     m = None
     warm = 2
     t0 = None
+    bytes_per_clip = None
     for batch, n in DevicePrefetcher(epochs(), stage, depth=2):
+        if bytes_per_clip is None:
+            bytes_per_clip = (
+                sum(x.size * x.dtype.itemsize for x in batch["inputs"]) / n
+            )
         state, m = step(state, batch, rng)
         if warm:
             # TWO warm batches: the first call compiles, and the SECOND
@@ -578,7 +585,17 @@ def bench_e2e_input_pipeline():
             break
     _sync(m)
     e2e_rate = seen / (time.time() - t0)
-    return e2e_rate, loader_rate, h2d_mbps
+    # Attribution: on a tunneled chip the H2D link (~30 MB/s serialized,
+    # CPU fraction ~0.07 — network-bound, fully overlappable) is the hard
+    # per-clip floor; on a real TPU host (PCIe >= 10 GB/s) it vanishes.
+    # overlap_efficiency = e2e vs the binding single-stage bound: ~1.0
+    # means the prefetcher pipeline is hiding every non-binding stage.
+    transfer_ceiling = (
+        h2d_mbps * 1e6 / bytes_per_clip if bytes_per_clip else float("inf")
+    )
+    bound = min(loader_rate, transfer_ceiling)
+    overlap_eff = e2e_rate / bound if bound > 0 else 0.0
+    return e2e_rate, loader_rate, h2d_mbps, transfer_ceiling, overlap_eff
 
 
 def main():
@@ -642,12 +659,16 @@ def main():
         extra["slowfast_p50_clip_latency_ms"] = round(p50, 2)
 
     def e2e_section():
-        e2e, loader_rate, h2d = bench_e2e_input_pipeline()
+        e2e, loader_rate, h2d, ceil, eff = bench_e2e_input_pipeline()
         extra["slowfast_e2e_input_pipeline_clips_per_sec"] = round(e2e, 2)
         extra["input_pipeline_loader_only_clips_per_sec"] = round(
             loader_rate, 2
         )
         extra["host_to_device_MBps"] = round(h2d, 1)
+        # Tunnel-H2D per-clip ceiling (absent on real PCIe TPU hosts) and
+        # e2e vs the binding bound: ~1.0 = overlap hides everything else.
+        extra["h2d_transfer_ceiling_clips_per_sec"] = round(ceil, 2)
+        extra["e2e_overlap_efficiency"] = round(eff, 3)
         extra["host_cpus"] = os.cpu_count()
 
     def maskfeat_section():
