@@ -58,9 +58,17 @@ class ResNetBasicStem(nn.Module):
             import jax.numpy as jnp
 
             from slowfast_tpu.ops.video_conv import (
+                _POOL_VJP,
                 _pick_chunk,
                 _toeplitz_weights_span,
+                max_pool_2d_argmax,
                 max_pool_2d_slices,
+            )
+
+            pool2d = (
+                max_pool_2d_argmax
+                if _POOL_VJP == "argmax"
+                else max_pool_2d_slices
             )
 
             kernel = self.param_holder(C)
@@ -90,7 +98,7 @@ class ResNetBasicStem(nn.Module):
                 y = _conv2d(xf, Wb, (sh, sw), (ph, pw))  # (B*n,Ho,Wo,G*co)
             y = self.norm(self.dim_out, name="bn", folded_t=G)(y, train=train)
             y = nn.relu(y)
-            y = max_pool_2d_slices(y, (3, 3), (2, 2), (1, 1))
+            y = pool2d(y, (3, 3), (2, 2), (1, 1))
             co = self.dim_out
             Ho, Wo = y.shape[1], y.shape[2]
             if n <= 1:

@@ -274,19 +274,164 @@ def max_pool_2d_slices(x, kernel_hw, stride_hw, pad_hw):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Argmax-saving max pool with an input-centric custom VJP.
+#
+# Autodiff of the shifted-slice max chain produces, per tap, a full
+# input-resolution mask multiply (select(x_tap == running_max) * dy) — for
+# the SlowFast/C2D stems that backward is ~2.4 ms/step/pathway of
+# HBM-bound `mul`s (~1.7 GB of traffic), the single largest op in the
+# profiled step. This formulation instead:
+#   * forward: computes the max AND the winning tap index (uint8, first
+#     strict max — torch MaxPool semantics) in one fused pass;
+#   * backward: computes dx directly on the input grid. A padded input
+#     index i = s*m + r is covered by at most ceil(k/s) windows per dim;
+#     for each stride-residue class r the covering windows sit at static
+#     offsets, so dx is a sum of <= ceil(k/s)^2 elementwise
+#     dy*(idx == tap) terms per class, gathered with static strided
+#     slices and re-interleaved with a reshape. Traffic is
+#     read(idx)+read(dy)+write(dx) — ~6x less than the mask-mul chain.
+# ---------------------------------------------------------------------------
+
+from functools import partial
+
+
+def _pool_geom(H, k, s, p):
+    """Per-dim geometry: padded extent (rounded up to a multiple of s so
+    residue classes interleave with one reshape) and output extent."""
+    Hp = H + 2 * p
+    Ho = (Hp - k) // s + 1
+    Hp_r = -(-Hp // s) * s  # round up; extra tail is just ignored padding
+    return Hp, Ho, Hp_r
+
+
+def max_pool_2d_argmax(x, kernel_hw, stride_hw, pad_hw):
+    """Spatial max pool on (..., H, W, C), argmax-saving custom VJP."""
+    return _max_pool_2d_argmax(
+        x, tuple(kernel_hw), tuple(stride_hw), tuple(pad_hw),
+        x.shape[-3:-1], jnp.dtype(x.dtype).name,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _max_pool_2d_argmax(x, kernel_hw, stride_hw, pad_hw, x_hw, x_dtype):
+    y, _ = _max_pool_2d_fwd_impl(x, kernel_hw, stride_hw, pad_hw)
+    return y
+
+
+def _max_pool_2d_fwd_impl(x, kernel_hw, stride_hw, pad_hw):
+    kh, kw = kernel_hw
+    sh, sw = stride_hw
+    ph, pw = pad_hw
+    neg = jnp.asarray(-jnp.inf, jnp.float32).astype(x.dtype)
+    lead = [(0, 0)] * (x.ndim - 3)
+    xp = jnp.pad(x, lead + [(ph, ph), (pw, pw), (0, 0)], constant_values=neg)
+    H = x.shape[-3] + 2 * ph
+    W = x.shape[-2] + 2 * pw
+    Ho = (H - kh) // sh + 1
+    Wo = (W - kw) // sw + 1
+    best = None
+    idx = None
+    for i in range(kh):
+        for j in range(kw):
+            sl = xp[
+                ...,
+                i : i + (Ho - 1) * sh + 1 : sh,
+                j : j + (Wo - 1) * sw + 1 : sw,
+                :,
+            ]
+            code = jnp.uint8(i * kw + j)
+            if best is None:
+                best, idx = sl, jnp.full(sl.shape, code, jnp.uint8)
+            else:
+                win = sl > best  # strict: first max wins (torch semantics)
+                best = jnp.maximum(best, sl)
+                idx = jnp.where(win, code, idx)
+    return best, idx
+
+
+def _max_pool_2d_argmax_fwd(x, kernel_hw, stride_hw, pad_hw, x_hw, x_dtype):
+    y, idx = _max_pool_2d_fwd_impl(x, kernel_hw, stride_hw, pad_hw)
+    return y, idx
+
+
+def _max_pool_2d_argmax_bwd(kernel_hw, stride_hw, pad_hw, x_hw, x_dtype, res, dy):
+    idx = res
+    kh, kw = kernel_hw
+    sh, sw = stride_hw
+    ph, pw = pad_hw
+    H, W = x_hw
+    _, Ho, Hp_r = _pool_geom(H, kh, sh, ph)
+    _, Wo, Wp_r = _pool_geom(W, kw, sw, pw)
+    Mh = Hp_r // sh  # class length along H
+    Mw = Wp_r // sw
+    dh_max = (kh - 1) // sh  # max window back-offset per dim
+    dw_max = (kw - 1) // sw
+    lead = [(0, 0)] * (dy.ndim - 3)
+    # Left-pad by d_max so w = m - d indexes at static offset; right-pad so
+    # every class slice [off : off + M] is in range. Sentinel 255 in idx
+    # never matches a tap code, so padded windows contribute zero.
+    dyp = jnp.pad(
+        dy,
+        lead + [(dh_max, Mh + dh_max - Ho), (dw_max, Mw + dw_max - Wo), (0, 0)],
+    )
+    idxp = jnp.pad(
+        idx,
+        lead + [(dh_max, Mh + dh_max - Ho), (dw_max, Mw + dw_max - Wo), (0, 0)],
+        constant_values=jnp.uint8(255),
+    )
+    dz = jnp.asarray(0, dy.dtype)
+    rows = []
+    for rh in range(sh):
+        cols = []
+        for rw in range(sw):
+            # A residue class with no covering window (stride > kernel
+            # gap positions) gets zero gradient.
+            acc = jnp.zeros(
+                dyp.shape[:-3] + (Mh, Mw, dyp.shape[-1]), dy.dtype
+            )
+            for dh in range(max(0, (kh - 1 - rh) // sh + 1)):
+                for dw in range(max(0, (kw - 1 - rw) // sw + 1)):
+                    tap = jnp.uint8((rh + sh * dh) * kw + (rw + sw * dw))
+                    oh = dh_max - dh
+                    ow = dw_max - dw
+                    dsl = dyp[..., oh : oh + Mh, ow : ow + Mw, :]
+                    isl = idxp[..., oh : oh + Mh, ow : ow + Mw, :]
+                    acc = acc + jnp.where(isl == tap, dsl, dz)
+            cols.append(acc)
+        # Interleave the sw residue classes along W: (..., Mh, Mw, sw, C).
+        row = jnp.stack(cols, axis=-2)  # (..., Mh, Mw, sw, C)
+        rows.append(row.reshape(row.shape[:-3] + (Mw * sw, row.shape[-1])))
+    out = jnp.stack(rows, axis=-3)  # (..., Mh, sh, Wp_r, C)
+    out = out.reshape(out.shape[:-4] + (Mh * sh, Wp_r, out.shape[-1]))
+    dx = out[..., ph : ph + H, pw : pw + W, :].astype(x_dtype)
+    return (dx,)
+
+
+_max_pool_2d_argmax.defvjp(_max_pool_2d_argmax_fwd, _max_pool_2d_argmax_bwd)
+
+# Default ON for the hot stem pools; SF_POOL_VJP=chain restores the
+# autodiff'd max-chain backward for A/B.
+_POOL_VJP = _os.environ.get("SF_POOL_VJP", "argmax")
+
+
 def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
-    """Max pool; spatial-only pools use the slice formulation, small-C
-    additionally pools in T-folded layout for full lanes."""
+    """Max pool; spatial-only pools use the slice formulation (argmax
+    custom-VJP backward by default), small-C additionally pools in
+    T-folded layout for full lanes."""
     B, T, H, W, C = x.shape
     kt, kh, kw = kernel
+    pool2d = (
+        max_pool_2d_argmax if _POOL_VJP == "argmax" else max_pool_2d_slices
+    )
     if kt == 1:
         if C < SMALL_C:
             xf = fold_time(x)
-            y = max_pool_2d_slices(
+            y = pool2d(
                 xf, (kh, kw), (stride[1], stride[2]), (padding[1], padding[2])
             )
             return unfold_time(y, T)
-        y = max_pool_2d_slices(
+        y = pool2d(
             x.reshape(B * T, H, W, C),
             (kh, kw),
             (stride[1], stride[2]),
@@ -294,7 +439,13 @@ def max_pool3d_fast(x, kernel, stride, padding=(0, 0, 0)):
         )
         return y.reshape((B, T) + y.shape[1:])
     if kh == 1 and kw == 1:
-        # Temporal-only pool (POOL1 [2,1,1]): slices over T.
+        # Temporal-only pool (POOL1 [2,1,1]).
+        if _POOL_VJP == "argmax":
+            xr = x.reshape(B, T, 1, H * W * C)
+            y = max_pool_2d_argmax(
+                xr, (kt, 1), (stride[0], 1), (padding[0], 0)
+            )
+            return y.reshape(B, y.shape[1], H, W, C)
         neg = jnp.asarray(-jnp.inf, jnp.float32).astype(x.dtype)
         xp = jnp.pad(
             x, [(0, 0), (padding[0], padding[0]), (0, 0), (0, 0), (0, 0)],

@@ -92,3 +92,94 @@ def test_folded_conv_matches_lax(case):
     got = unfold_time(yf, Tout)
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Argmax-saving max-pool custom VJP
+# ---------------------------------------------------------------------------
+
+POOL_CASES = [
+    # (H, W, kernel, stride, pad)
+    ((12, 12), (3, 3), (2, 2), (1, 1)),   # stem pool
+    ((9, 11), (3, 3), (2, 2), (1, 1)),    # odd extents
+    ((8, 8), (2, 2), (2, 2), (0, 0)),     # non-overlapping
+    ((8, 8), (3, 3), (1, 1), (1, 1)),     # stride 1
+    ((10, 10), (2, 1), (2, 1), (0, 0)),   # temporal-style (kw=1)
+    ((10, 10), (3, 2), (2, 3), (1, 0)),   # stride > kernel along W (gaps)
+]
+
+
+@pytest.mark.parametrize("case", POOL_CASES)
+def test_max_pool_argmax_forward_matches_reduce_window(case):
+    from slowfast_tpu.ops.video_conv import max_pool_2d_argmax
+
+    (H, W), k, s, p = case
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, H, W, 5), jnp.float32)
+    ref = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1,) + k + (1,), (1,) + s + (1,),
+        [(0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)],
+    )
+    got = jax.jit(lambda x: max_pool_2d_argmax(x, k, s, p))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("case", POOL_CASES)
+def test_max_pool_argmax_grad_matches_torch(case):
+    """Backward must match torch MaxPool2d (first-argmax-wins) exactly,
+    including tied windows (all-equal windows after ReLU zeros)."""
+    torch = pytest.importorskip("torch")
+    from slowfast_tpu.ops.video_conv import max_pool_2d_argmax
+
+    (H, W), k, s, p = case
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, H, W, 4).astype(np.float32)
+    # Inject ties: zero out a block so whole windows tie at 0.
+    x[:, : H // 2, : W // 2, :2] = 0.0
+    dy_fn = lambda y: (y * np.arange(1, y.size + 1).reshape(y.shape)).sum()
+
+    xt = torch.tensor(np.ascontiguousarray(x.transpose(0, 3, 1, 2)),
+                      requires_grad=True)
+    # torch has no -inf-padded pool; emulate with explicit pad.
+    xp = torch.nn.functional.pad(
+        xt, (p[1], p[1], p[0], p[0]), value=float("-inf")
+    )
+    yt = torch.nn.functional.max_pool2d(xp, k, s)
+    wt = torch.tensor(
+        np.arange(1, yt.numel() + 1, dtype=np.float32).reshape(yt.shape)
+    )
+    (yt * wt).sum().backward()
+    ref_dx = xt.grad.numpy().transpose(0, 2, 3, 1)
+
+    def loss(x):
+        y = max_pool_2d_argmax(x, k, s, p)
+        w = jnp.arange(1, y.size + 1, dtype=jnp.float32).reshape(
+            np.asarray(yt.detach().numpy().transpose(0, 2, 3, 1)).shape
+        )
+        # torch's NCHW weight layout, transposed to NHWC to match.
+        wn = np.arange(1, yt.numel() + 1, dtype=np.float32).reshape(
+            yt.shape
+        ).transpose(0, 2, 3, 1)
+        return (y * jnp.asarray(wn)).sum()
+
+    got_dx = jax.grad(loss)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_dx), ref_dx, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool3d_temporal_argmax_matches_reduce_window():
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 6, 6, 16), jnp.float32)
+    ref = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 1, 1, 1), (1, 2, 1, 1, 1),
+        [(0, 0)] * 5,
+    )
+    got = jax.jit(lambda x: max_pool3d_fast(x, (2, 1, 1), (2, 1, 1)))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_max_pool3d_temporal_argmax_grad():
+    """Gradient of the temporal argmax pool: every dy routes to exactly one
+    input frame (the first max), total gradient mass preserved."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 4, 4, 8), jnp.float32)
+    g = jax.grad(lambda x: max_pool3d_fast(x, (2, 1, 1), (2, 1, 1)).sum())(x)
+    # Each (t-pair, h, w, c) position contributes its dy=1 to one frame.
+    pair_sums = np.asarray(g).reshape(2, 4, 2, 4, 4, 8).sum(axis=2)
+    np.testing.assert_allclose(pair_sums, np.ones_like(pair_sums))

@@ -72,7 +72,43 @@ def parse_framework_op_stats(trace_dir, top_k=30):
         if out:
             break
     out.sort(key=lambda r: -r["total_self_us"])
-    return out[:top_k]
+    return out, out[:top_k]
+
+
+_SCOPE_RE = None
+
+
+def _scope_of(op_name):
+    """Model-stage attribution from the HLO metadata path (s1/s2/.../head)."""
+    import re
+
+    global _SCOPE_RE
+    if _SCOPE_RE is None:
+        _SCOPE_RE = re.compile(
+            r"/(s\d(?:_fuse)?|head|patch_embed|blocks?_?\d*|pathway\d+_(?:stem|pool))/"
+        )
+    m = _SCOPE_RE.search(op_name)
+    return m.group(1) if m else "(other)"
+
+
+def print_summary(all_rows, steps):
+    total = sum(r["total_self_us"] for r in all_rows)
+    print(f"\n== totals: {total/1e3:.1f} ms device self-time over {steps} steps "
+          f"({total/steps/1e3:.2f} ms/step) ==")
+
+    def rollup(keyfn, title):
+        agg = {}
+        for r in all_rows:
+            k = keyfn(r)
+            agg[k] = agg.get(k, 0.0) + r["total_self_us"]
+        print(f"-- by {title} --")
+        for k, us in sorted(agg.items(), key=lambda kv: -kv[1]):
+            if us / total < 0.005:
+                continue
+            print(f"{us/steps/1e3:9.2f} ms/step  {100*us/total:5.1f}%  {k}")
+
+    rollup(lambda r: r["category"], "HLO category")
+    rollup(lambda r: _scope_of(r["op"]), "model scope")
 
 
 def main():
@@ -82,6 +118,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/xprof_step")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dump", default=None,
+                    help="write the full op table as JSON to this path")
     ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args()
 
@@ -124,7 +162,7 @@ def main():
         float(m["loss"])
 
     try:
-        rows = parse_framework_op_stats(args.out, args.top)
+        all_rows, rows = parse_framework_op_stats(args.out, args.top)
     except Exception as e:  # xprof optional — leave the raw trace usable
         print(f"trace written to {args.out}; xprof parse failed: {e!r}")
         return
@@ -136,6 +174,11 @@ def main():
         bb = f" [{r['bound_by']}]" if r.get("bound_by") not in (None, "Unknown") else ""
         print(f"{r['total_self_us']/1e3:9.2f} ms  {r['category']:<22}"
               f" {r['op'][:90]}{bw}{bb}")
+    print_summary(all_rows, args.steps)
+    if args.dump:
+        with open(args.dump, "w") as f:
+            json.dump(all_rows, f)
+        print(f"full table ({len(all_rows)} rows) -> {args.dump}")
 
 
 if __name__ == "__main__":
