@@ -543,8 +543,18 @@ def bench_e2e_input_pipeline():
     # a background thread stages batch N+1 on device while step N runs.
     from slowfast_tpu.parallel.prefetch import DevicePrefetcher
 
+    host_bytes = {}
+
     def stage(item):
         inputs, labels, index, times_, meta = item
+        if "per_clip" not in host_bytes:
+            # Wire bytes = the HOST-side payload actually crossing H2D
+            # (under the uint8 pipeline: ONE uint8 clip; pathway split +
+            # bf16 cast happen on device). Measuring the staged device
+            # arrays instead overstated it several-fold (ADVICE r4).
+            host_bytes["per_clip"] = sum(
+                _np.asarray(x).nbytes for x in inputs
+            ) / max(len(labels), 1)
         batch = {
             "inputs": [jnp.asarray(x) for x in inputs],
             "labels": jnp.asarray(labels),
@@ -563,12 +573,7 @@ def bench_e2e_input_pipeline():
     m = None
     warm = 2
     t0 = None
-    bytes_per_clip = None
     for batch, n in DevicePrefetcher(epochs(), stage, depth=2):
-        if bytes_per_clip is None:
-            bytes_per_clip = (
-                sum(x.size * x.dtype.itemsize for x in batch["inputs"]) / n
-            )
         state, m = step(state, batch, rng)
         if warm:
             # TWO warm batches: the first call compiles, and the SECOND
@@ -590,6 +595,7 @@ def bench_e2e_input_pipeline():
     # per-clip floor; on a real TPU host (PCIe >= 10 GB/s) it vanishes.
     # overlap_efficiency = e2e vs the binding single-stage bound: ~1.0
     # means the prefetcher pipeline is hiding every non-binding stage.
+    bytes_per_clip = host_bytes.get("per_clip")
     transfer_ceiling = (
         h2d_mbps * 1e6 / bytes_per_clip if bytes_per_clip else float("inf")
     )

@@ -175,11 +175,20 @@ def decode_native(
     # rule in C picks EXACTLY the frames _sample_positions would select, so
     # the sws_scale + memcpy of dropped in-window frames is never paid
     # (sampling_rate-2 recipes decode 2x the frames they keep).
+    # Targets are clamped to the last decodable frame (total - 1): for
+    # videos shorter than the clip span, end_idx exceeds the stream, and an
+    # unclamped target would never be emitted by the at-or-after rule —
+    # collapsing the clip tail onto an earlier frame instead of duplicating
+    # the final frame like the legacy full-window path (reference
+    # decoder.py:17-34 clips indices to the decoded length). The C side
+    # additionally emits the last decoded in-window frame at EOF/window
+    # close when targets are still pending (container nb_frames can
+    # overestimate the decodable count).
     wanted = np.unique(
         np.concatenate(
             [
                 np.floor(
-                    np.clip(np.linspace(s, e, num_frames), 0, None)
+                    np.clip(np.linspace(s, e, num_frames), 0, total - 1)
                 ).astype(np.int64)
                 for s, e in windows
             ]

@@ -226,40 +226,51 @@ SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
   // Gap (frames) beyond which re-seeking beats decoding through; ~1 GOP
   // at typical web-video keyframe intervals.
   const int64_t kSeekGap = 16;
+  // Last in-window frame dropped by the `wanted` filter: if the window
+  // closes (or the stream ends) with targets still pending — nb_frames
+  // overestimated the decodable count, or rounding placed a target past
+  // the last in-window frame — this frame is emitted so the host-side
+  // clip-to-last-kept selection duplicates it, matching the legacy
+  // full-window decode. av_frame_clone is refcounted (no pixel copy).
+  AVFrame* held = nullptr;
+  int64_t held_idx = -1;
 
-  auto handle_frame = [&](AVFrame* f) {
-    int64_t pts = f->best_effort_timestamp;
-    if (pts == AV_NOPTS_VALUE) pts = f->pts;
-    int64_t fidx;
-    if (pts == AV_NOPTS_VALUE) {
-      fidx = idxs.empty() ? 0 : idxs.back() + 1;
-    } else {
-      fidx = llround((pts - start_time) * tb * fps);
+  // Crop source rectangle for the current input dims (chroma-aligned,
+  // in-bounds). Called at crop activation and again if the stream changes
+  // resolution mid-decode (the output stays (crop_w, crop_h); a frame too
+  // small to cover the crop falls back to reading the whole frame).
+  auto compute_crop_rect = [&](const AVFrame* f) {
+    int short_in = f->width < f->height ? f->width : f->height;
+    double sc = (double)short_side / short_in;  // up-scales too
+    int scaled_w = (int)lround(f->width * sc);
+    int scaled_h = (int)lround(f->height * sc);
+    if (scaled_w < crop_w || scaled_h < crop_h) {
+      src_x = 0; src_y = 0; src_w = f->width; src_h = f->height;
+      return;
     }
-    if (n_windows > 0) {
-      if (fidx > max_f) { done = true; return; }
-      while (cur_win < wins.size() && fidx > wins[cur_win].second) cur_win++;
-      if (cur_win >= wins.size()) { done = true; return; }
-      if (fidx < wins[cur_win].first) {
-        // One skip-seek per window: if the keyframe lands further than the
-        // gap threshold before the window, decode through rather than
-        // re-seeking to the same keyframe forever.
-        if (wins[cur_win].first - fidx > kSeekGap &&
-            wins[cur_win].first != last_seek_target)
-          want_seek = wins[cur_win].first;
-        return;
-      }
-    }
-    // A skip-seek can land on a keyframe before frames already emitted;
-    // kept indices must stay strictly increasing.
-    if (!idxs.empty() && fidx <= idxs.back()) return;
-    if (n_wanted > 0) {
-      if (wptr >= n_wanted) { done = true; return; }
-      if (fidx < wanted[wptr]) return;  // sampler would drop this frame
-      // Emit once; a frame can satisfy several targets (dropped frames),
-      // which the python side re-expands into duplicates.
-      while (wptr < n_wanted && wanted[wptr] <= fidx) wptr++;
-    }
+    double inv = 1.0 / sc;
+    int cx_s = (int)lround(crop_fx * (scaled_w - crop_w));
+    int cy_s = (int)lround(crop_fy * (scaled_h - crop_h));
+    src_x = ((int)lround(cx_s * inv)) & ~((1 << sub_x) - 1);
+    src_y = ((int)lround(cy_s * inv)) & ~((1 << sub_y) - 1);
+    src_w = (int)lround(crop_w * inv);
+    src_h = (int)lround(crop_h * inv);
+    if (src_w < 1) src_w = 1;
+    if (src_h < 1) src_h = 1;
+    if (src_w > f->width) src_w = f->width;
+    if (src_h > f->height) src_h = f->height;
+    // Boundary clamps must preserve the chroma alignment applied above
+    // (an unaligned offset skews chroma sampling at right/bottom-edge
+    // crops); & ~mask rounds down, so the rectangle stays in bounds.
+    if (src_x + src_w > f->width)
+      src_x = (f->width - src_w) & ~((1 << sub_x) - 1);
+    if (src_y + src_h > f->height)
+      src_y = (f->height - src_h) & ~((1 << sub_y) - 1);
+    if (src_x < 0) src_x = 0;
+    if (src_y < 0) src_y = 0;
+  };
+
+  auto emit = [&](AVFrame* f, int64_t fidx) {
     if (out_w < 0) {
       // Fused crop: one sws_scale from the source sub-rectangle straight
       // to (crop_w, crop_h). Only 8-bit planar YUV / gray (the universal
@@ -280,22 +291,10 @@ SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
           if (scaled_w >= crop_w && scaled_h >= crop_h) {
             sub_x = d->log2_chroma_w;
             sub_y = d->log2_chroma_h;
-            double inv = 1.0 / sc;
-            int cx_s = (int)lround(crop_fx * (scaled_w - crop_w));
-            int cy_s = (int)lround(crop_fy * (scaled_h - crop_h));
-            src_x = ((int)lround(cx_s * inv)) & ~((1 << sub_x) - 1);
-            src_y = ((int)lround(cy_s * inv)) & ~((1 << sub_y) - 1);
-            src_w = (int)lround(crop_w * inv);
-            src_h = (int)lround(crop_h * inv);
-            if (src_w < 1) src_w = 1;
-            if (src_h < 1) src_h = 1;
-            if (src_x + src_w > f->width) src_x = f->width - src_w;
-            if (src_y + src_h > f->height) src_y = f->height - src_h;
-            if (src_x >= 0 && src_y >= 0) {
-              crop_active = true;
-              out_w = crop_w;
-              out_h = crop_h;
-            }
+            crop_active = true;
+            out_w = crop_w;
+            out_h = crop_h;
+            compute_crop_rect(f);
           }
         }
       }
@@ -314,7 +313,13 @@ SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
     }
     if (!sws || f->width != sws_in_w || f->height != sws_in_h ||
         f->format != sws_in_fmt) {
-      if (sws) sws_freeContext(sws);
+      if (sws) {
+        sws_freeContext(sws);
+        // Mid-stream resolution change: the source rectangle computed for
+        // the first frame's dims may read out of bounds on the new dims —
+        // recompute it before rebuilding the scaler.
+        if (crop_active) compute_crop_rect(f);
+      }
       sws = sws_getContext(crop_active ? src_w : f->width,
                            crop_active ? src_h : f->height,
                            (AVPixelFormat)f->format,
@@ -372,6 +377,72 @@ SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
     idxs.push_back(fidx);
   };
 
+  auto drop_held = [&]() {
+    if (held) av_frame_free(&held);
+    held_idx = -1;
+  };
+
+  // A window closed (or the stream ended) with wanted targets <= win_end
+  // still un-emitted: emit the held last in-window frame (the legacy path
+  // would have decoded it and the host selection would duplicate it).
+  auto flush_held = [&](int64_t win_end) {
+    if (held == nullptr || wptr >= n_wanted || wanted[wptr] > win_end)
+      return;
+    if (idxs.empty() || held_idx > idxs.back()) emit(held, held_idx);
+    while (wptr < n_wanted && wanted[wptr] <= win_end) wptr++;
+  };
+
+  auto handle_frame = [&](AVFrame* f) {
+    int64_t pts = f->best_effort_timestamp;
+    if (pts == AV_NOPTS_VALUE) pts = f->pts;
+    int64_t fidx;
+    if (pts == AV_NOPTS_VALUE) {
+      fidx = idxs.empty() ? 0 : idxs.back() + 1;
+    } else {
+      fidx = llround((pts - start_time) * tb * fps);
+    }
+    if (n_windows > 0) {
+      if (fidx > max_f) {
+        flush_held(max_f);
+        done = true;
+        return;
+      }
+      while (cur_win < wins.size() && fidx > wins[cur_win].second) {
+        flush_held(wins[cur_win].second);
+        drop_held();
+        cur_win++;
+      }
+      if (cur_win >= wins.size()) { done = true; return; }
+      if (fidx < wins[cur_win].first) {
+        // One skip-seek per window: if the keyframe lands further than the
+        // gap threshold before the window, decode through rather than
+        // re-seeking to the same keyframe forever.
+        if (wins[cur_win].first - fidx > kSeekGap &&
+            wins[cur_win].first != last_seek_target)
+          want_seek = wins[cur_win].first;
+        return;
+      }
+    }
+    // A skip-seek can land on a keyframe before frames already emitted;
+    // kept indices must stay strictly increasing.
+    if (!idxs.empty() && fidx <= idxs.back()) return;
+    if (n_wanted > 0) {
+      if (wptr >= n_wanted) { done = true; return; }
+      if (fidx < wanted[wptr]) {
+        // The sampler would drop this frame — but hold a reference: it
+        // becomes the clip tail if no at-or-after frame ever arrives.
+        if (held) av_frame_free(&held);
+        held = av_frame_clone(f);
+        held_idx = held ? fidx : -1;
+        return;
+      }
+      // Emit once; a frame can satisfy several targets (dropped frames),
+      // which the python side re-expands into duplicates.
+      while (wptr < n_wanted && wanted[wptr] <= fidx) wptr++;
+    }
+    emit(f, fidx);
+  };
+
   while (!done && av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == vs) {
       if (avcodec_send_packet(cc, pkt) >= 0) {
@@ -391,6 +462,13 @@ SvdResult* svd_decode2(const uint8_t* mem, int64_t mem_size, const char* path,
     avcodec_send_packet(cc, nullptr);
     while (avcodec_receive_frame(cc, frm) >= 0 && !done) handle_frame(frm);
   }
+  // Stream exhausted with targets still pending (container nb_frames
+  // overestimated the decodable count): emit the held last in-window frame.
+  if (n_wanted > 0 && wptr < n_wanted)
+    flush_held(n_windows > 0
+                   ? (cur_win < wins.size() ? wins[cur_win].second : max_f)
+                   : INT64_MAX);
+  drop_held();
 
   if (sws) sws_freeContext(sws);
   av_frame_free(&frm);

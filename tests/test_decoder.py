@@ -201,6 +201,52 @@ def test_wanted_pushdown_matches_host_selection(test_video):
     assert clip.shape[0] == T
 
 
+def test_short_video_tail_duplicates_last_frame(test_video):
+    """A clip span longer than the video must duplicate the LAST decodable
+    frame at the tail (legacy full-window semantics; ADVICE r4: unclamped
+    push-down targets collapsed the tail onto an earlier frame)."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, gt = test_video
+    # clip_size = 2 * 64 / 30 * 30 = 128 frames > the 90-frame video.
+    num_frames, sampling_rate = 64, 2
+    got = decoder.decode_native(
+        path, sampling_rate, num_frames, clip_idx=0, num_clips=1
+    )
+    assert got is not None
+    clip = got[0]
+    assert clip.shape[0] == num_frames
+    # Legacy composition: full-window decode + _sample_positions.
+    full, full_idx, fps, _ = native_video.decode_windows(path, [(0.0, 127.0)])
+    pos = decoder._sample_positions(full_idx, 0.0, 127.0, num_frames)
+    np.testing.assert_array_equal(clip, full[pos])
+    # The tail is the last decodable frame, duplicated.
+    assert np.array_equal(clip[-1], gt[len(gt) - 1])
+    assert np.array_equal(clip[-2], gt[len(gt) - 1])
+
+
+def test_wanted_pending_at_eof_emits_last_window_frame(test_video):
+    """Targets past the decodable end (container nb_frames overestimate):
+    the C emitter must flush the last in-window decoded frame at EOF so the
+    host-side clip-to-last-kept rule has it to duplicate."""
+    if not _native_available():
+        pytest.skip("native decoder unavailable")
+    path, gt = test_video
+    wanted = np.array([85, 100, 110], dtype=np.int64)
+    view = native_video.decode_windows_view(
+        path, [(80.0, 120.0)], wanted=wanted
+    )
+    assert view is not None
+    with view:
+        idx = view.frame_idx.copy()
+        data = view.data.copy()
+    # 85 satisfies the first target; 89 (the last decodable in-window
+    # frame) is flushed for the pending 100/110 targets.
+    assert list(idx) == [85, 89]
+    assert np.array_equal(data[0], gt[85])
+    assert np.array_equal(data[1], gt[89])
+
+
 @pytest.fixture(scope="module")
 def smooth_video(tmp_path_factory):
     """A smooth-gradient mp4 (subpixel-phase differences stay tiny)."""

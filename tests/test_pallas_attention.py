@@ -110,6 +110,49 @@ def test_attention_core_custom_vjp_matches_autodiff():
         )
 
 
+def test_attention_core_bf16_gradients_track_fp32():
+    """bf16 numerics of the custom backward (ADVICE r4): the delta-trick
+    subtraction dpn - <dp,p>/s must happen in fp32 — on converged
+    (concentrated-softmax) rows dpn ~= <dp,p>, and rounding each operand
+    to bf16 first leaves the cancellation with error of order 2^-8 of dpn
+    rather than of the difference. Sharp logits make such rows common;
+    the bf16 grads must stay within bf16-forward tolerance of the fp32
+    reference computed on the same rounded inputs."""
+    from slowfast_tpu.models.attention import _attention_core
+
+    rng = jax.random.PRNGKey(3)
+    B, Nq, Nk, nh, c = 2, 48, 24, 2, 16
+    ks = jax.random.split(rng, 4)
+    # Scale 2.0 -> logits O(30): softmax rows are near-one-hot, the
+    # worst case for the cancellation.
+    qh = (jax.random.normal(ks[0], (B, Nq, nh, c)) * 2.0).astype(jnp.bfloat16)
+    kh = (jax.random.normal(ks[1], (B, Nk, nh, c)) * 2.0).astype(jnp.bfloat16)
+    vh = jax.random.normal(ks[2], (B, Nk, nh, c)).astype(jnp.bfloat16)
+    do = jax.random.normal(ks[3], (B, Nq, nh, c)).astype(jnp.bfloat16)
+
+    def vjp_of(fn):
+        _, pull = jax.vjp(fn, qh, kh, vh)
+        return pull(do)
+
+    got = vjp_of(_attention_core)
+    # fp32 reference on the SAME bf16-rounded inputs.
+    want = vjp_of(
+        lambda q, k, v: _ref(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+    )
+    for a, b in zip(got, want):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(float(np.abs(b).max()), 1e-6)
+        rel = float(np.abs(a - b).max()) / denom
+        # bf16 probabilities/out bound the achievable agreement at ~2^-8
+        # per element; measured max-rel error with the fp32 subtraction is
+        # 0.013/0.021/0.006 (dq/dk/dv) vs 0.019/0.021/0.006 with the
+        # pre-fix bf16 subtraction at these shapes.
+        assert rel < 3e-2, rel
+
+
 def test_flash_forward_and_grad_parity():
     """True-flash kernel (flash_pooled_attention: no (Nq,Nk) residual,
     backward recomputes probabilities in VMEM) vs XLA."""
