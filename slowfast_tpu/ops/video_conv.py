@@ -87,11 +87,44 @@ import os as _os
 # layout copies (~10 ms/step across the net).
 _SPATIAL_IMPL = _os.environ.get("SF_SPATIAL_CONV", "ndhwc")
 _DEPTHWISE_IMPL = _os.environ.get("SF_DEPTHWISE_CONV", "ndhwc")
+# Pointwise (1,1,1) convs as an explicit dot_general instead of a
+# unit-window conv. Hypothesis: the conv VJP of a rank-5 NDHWC pointwise
+# conv lowers poorly on thin channels, and a dot (whose VJP is two more
+# dots) would tile better. MEASURED NEGATIVE on v5e (X3D-M train, B=16):
+# dot 139.0 clips/s vs conv 162.0 — XLA fuses the unit-window conv into
+# the surrounding BN/ReLU elementwise work, and the explicit dot breaks
+# that fusion for more than the lowering win. Kept behind
+# SF_POINTWISE_CONV=dot for future A/B on other topologies/hardware.
+_POINTWISE_IMPL = _os.environ.get("SF_POINTWISE_CONV", "conv")
+
+
+def pointwise_conv(x, w2d, stride_hw=(1, 1)):
+    """(1,1,1) conv on (B, T, H, W, C) as a dot over the channel dim.
+
+    A 1x1x1 kernel with zero padding commutes with spatial striding, so
+    stride is a pre-slice (reads 1/(sh*sw) of the input instead of
+    discarding conv outputs). w2d: (Cin, Cout).
+    """
+    sh, sw = stride_hw
+    if sh > 1 or sw > 1:
+        x = x[:, :, ::sh, ::sw, :]
+    return jax.lax.dot_general(
+        x, w2d, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ()))
+    )
 
 
 def spatial_conv(x, w, stride_hw, pad_hw, groups=1, dilation_hw=(1, 1)):
     """(1,kh,kw) conv on (B, T, H, W, C), layout-preserving by default."""
     B, T, H, W, C = x.shape
+    if (
+        _POINTWISE_IMPL == "dot"
+        and groups == 1
+        and w.shape[1] == 1
+        and w.shape[2] == 1
+        and pad_hw[0] == 0
+        and pad_hw[1] == 0
+    ):
+        return pointwise_conv(x, w[0, 0, 0], stride_hw)
     if _SPATIAL_IMPL == "ndhwc":
         return jax.lax.conv_general_dilated(
             x,
