@@ -113,18 +113,91 @@ def pointwise_conv(x, w2d, stride_hw=(1, 1)):
     )
 
 
+# Hybrid pointwise conv: the FORWARD stays a unit-window rank-5 conv
+# (XLA fuses the adjacent BN/ReLU chains into conv fusions — losing
+# that cost 29 ms/step on X3D-M, see the dot negative result above),
+# and the BACKWARD replaces pieces of the conv VJP with explicit dots.
+# MEASURED NEGATIVE in both splits (X3D-M train B=16 on v5e, vs 162.7
+# clips/s for the plain conv path):
+#   - dx AND dW as dots: 142.6 — the backward elementwise fusion
+#     (BN/ReLU VJP folded into the transpose convs) is lost too.
+#   - dW alone as a gemm (dx stays a conv): 150.4 — the "slow"
+#     transpose-conv op is really a multi-output fusion computing
+#     dx + dW + BN-backward in ONE pass over x/dy; extracting dW does
+#     not shrink that pass, it adds a second full read of x and dy.
+# Conclusion: per-op profiler bandwidth under-sells conv fusions, and
+# the conv formulation is the optimum of this search space. Kept
+# behind SF_POINTWISE_CONV=hybrid for A/B on other shapes/hardware.
+# Gated to stride-1, Cin/Cout <= _HYBRID_MAX_C: at >=128 channels the
+# conv VJP already tiles full MXU lanes (s4/s5 a-convs stream at
+# 644 GB/s) and is left alone.
+_HYBRID_MAX_C = 128
+
+
+def _pointwise_conv5d(x, w, stride_hw):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,) + tuple(stride_hw),
+        padding=[(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pointwise_conv_dot_bwd(x, w, stride_hw):
+    return _pointwise_conv5d(x, w, stride_hw)
+
+
+def _pointwise_fwd(x, w, stride_hw):
+    return _pointwise_conv5d(x, w, stride_hw), (x, w)
+
+
+def _pointwise_bwd(stride_hw, res, dy):
+    x, w = res
+    w2d = w[0, 0, 0]  # (Cin, Cout)
+    ci, co = w2d.shape
+    # dx stays a unit-window CONV (of dy with the transposed weight):
+    # it sits on the activation chain, and XLA fuses the BN/ReLU
+    # backward elementwise into conv ops — computing it as a dot lost
+    # that fusion (hybrid-both-dots measured 142.6 vs 162.7 clips/s).
+    dx = _pointwise_conv5d(dy, w2d.T.reshape(1, 1, 1, co, ci), (1, 1))
+    # dW feeds the optimizer — nothing on the activation chain fuses
+    # into it — so it is safe to replace the pathological transpose-conv
+    # (8.96 ms/step at 208 GB/s on X3D-M s2 res0/a) with a plain gemm.
+    # C is minor in NDHWC, so the (N, C) reshapes are free.
+    dW = jax.lax.dot_general(
+        x.reshape(-1, ci),
+        dy.reshape(-1, co),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+    )
+    return dx, dW.reshape(w.shape).astype(w.dtype)
+
+
+_pointwise_conv_dot_bwd.defvjp(_pointwise_fwd, _pointwise_bwd)
+
+
 def spatial_conv(x, w, stride_hw, pad_hw, groups=1, dilation_hw=(1, 1)):
     """(1,kh,kw) conv on (B, T, H, W, C), layout-preserving by default."""
     B, T, H, W, C = x.shape
     if (
-        _POINTWISE_IMPL == "dot"
-        and groups == 1
+        groups == 1
         and w.shape[1] == 1
         and w.shape[2] == 1
         and pad_hw[0] == 0
         and pad_hw[1] == 0
     ):
-        return pointwise_conv(x, w[0, 0, 0], stride_hw)
+        if _POINTWISE_IMPL == "dot":
+            return pointwise_conv(x, w[0, 0, 0], stride_hw)
+        if (
+            _POINTWISE_IMPL == "hybrid"
+            and tuple(stride_hw) == (1, 1)
+            and max(w.shape[3], w.shape[4]) <= _HYBRID_MAX_C
+        ):
+            return _pointwise_conv_dot_bwd(x, w, (1, 1))
     if _SPATIAL_IMPL == "ndhwc":
         return jax.lax.conv_general_dilated(
             x,

@@ -183,3 +183,61 @@ def test_max_pool3d_temporal_argmax_grad():
     # Each (t-pair, h, w, c) position contributes its dy=1 to one frame.
     pair_sums = np.asarray(g).reshape(2, 4, 2, 4, 4, 8).sum(axis=2)
     np.testing.assert_allclose(pair_sums, np.ones_like(pair_sums))
+
+
+def test_pointwise_hybrid_backward_matches_conv():
+    """SF_POINTWISE_CONV=hybrid: forward IS the conv op (bit-exact) and
+    the dot-formulated custom VJP matches the conv VJP for both dx and
+    dW (fp32 reduction-order noise only)."""
+    from slowfast_tpu.ops import video_conv as vc
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 24), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1, 24, 54), jnp.float32) * 0.1
+
+    def loss(impl, x, w):
+        old = vc._POINTWISE_IMPL
+        vc._POINTWISE_IMPL = impl
+        try:
+            y = vc.spatial_conv(x, w, (1, 1), (0, 0))
+        finally:
+            vc._POINTWISE_IMPL = old
+        return (jnp.sin(y) * y).sum(), y
+
+    (gx_h, gw_h), (_, y_h) = (
+        jax.grad(lambda x, w: loss("hybrid", x, w)[0], argnums=(0, 1))(x, w),
+        loss("hybrid", x, w),
+    )
+    (gx_c, gw_c), (_, y_c) = (
+        jax.grad(lambda x, w: loss("conv", x, w)[0], argnums=(0, 1))(x, w),
+        loss("conv", x, w),
+    )
+    np.testing.assert_array_equal(np.asarray(y_h), np.asarray(y_c))
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_c), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_c), rtol=1e-4, atol=1e-3)
+
+
+def test_pointwise_hybrid_gates():
+    """The hybrid custom-VJP path only engages for stride-1 thin-channel
+    pointwise convs; strided and wide-channel cases stay on the default
+    conv path (identical outputs either way)."""
+    from slowfast_tpu.ops import video_conv as vc
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 6, 6, 16), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1, 16, 130), jnp.float32) * 0.1
+    old = vc._POINTWISE_IMPL
+    vc._POINTWISE_IMPL = "hybrid"
+    try:
+        # Wide output channels (>128): falls back; grad still finite/correct
+        # against the conv mode.
+        g_wide = jax.grad(
+            lambda w: vc.spatial_conv(x, w, (1, 1), (0, 0)).sum()
+        )(w)
+        # Strided: falls back.
+        y_str = vc.spatial_conv(x, w[..., :32], (2, 2), (0, 0))
+    finally:
+        vc._POINTWISE_IMPL = old
+    g_ref = jax.grad(
+        lambda w: vc.spatial_conv(x, w, (1, 1), (0, 0)).sum()
+    )(w)
+    np.testing.assert_allclose(np.asarray(g_wide), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+    assert y_str.shape == (1, 2, 3, 3, 32)
