@@ -18,9 +18,21 @@ Everything is batched: R ROIs x P x P bins x S^2 samples of bilinear
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# "matmul" (default): bilinear interpolation is separable, so ROIAlign is
+# two small dense contractions (y axis, then x axis) with closed-form
+# per-axis hat weights, the ROI->batch mapping folded in as a one-hot
+# contraction. No gathers forward, transposed matmuls (no scatter)
+# backward. Profiled on the AVA train step (v5e, B=16, R=128, 14x14x2048
+# features): the gather formulation spent ~70 ms/step in the RoI head
+# (a 12 GB/step 4-neighbor gather, four 7 GB/s scatter fusions in the
+# VJP); the matmul formulation's contractions are ~12 GFLOP + ~150 MB.
+# "gather" keeps the original formulation for A/B.
+_IMPL = os.environ.get("SF_ROI_ALIGN", "matmul")
 
 
 def _bilinear(feats, y, x):
@@ -57,8 +69,39 @@ def _bilinear(feats, y, x):
     return jnp.where(oob[..., None], 0.0, val)
 
 
+def _axis_weights(pos, grid, n):
+    """Summed per-sample hat weights against one feature axis's grid.
+
+    pos: (R, P, S) continuous sample coordinates along this axis; grid:
+    (R,) adaptive per-ROI sample count. Applies the detectron2 kernel's
+    rules exactly: samples past the adaptive count and samples outside
+    [-1, n] contribute zero; in-range coordinates clamp to [0, n-1],
+    then the two-tap bilinear weights ARE the hat function
+    max(0, 1-|pos-i|) evaluated at the clamped coordinate (the kernel's
+    y1=min(y0+1, n-1) edge rule coincides with the hat because the
+    high-tap weight is zero whenever the clamp binds). The per-axis
+    1/grid factor is folded in so the two axes' products average the
+    bin. Returns (R, P, n).
+    """
+    S = pos.shape[-1]
+    s = jnp.arange(S, dtype=jnp.float32)
+    valid = (
+        (s[None, None, :] < grid[:, None, None])
+        & (pos >= -1.0)
+        & (pos <= float(n))
+    )
+    pc = jnp.clip(pos, 0.0, n - 1.0)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(pc[..., None] - idx))  # (R,P,S,n)
+    hat = hat * valid[..., None].astype(jnp.float32)
+    return hat.sum(2) / grid[:, None, None]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned", "max_samples")
+    jax.jit,
+    static_argnames=(
+        "output_size", "sampling_ratio", "aligned", "max_samples", "impl",
+    ),
 )
 def roi_align(
     feats,
@@ -68,6 +111,7 @@ def roi_align(
     sampling_ratio: int = 0,
     aligned: bool = True,
     max_samples: int = 4,
+    impl: str = None,
 ):
     """ROIAlign.
 
@@ -77,6 +121,8 @@ def roi_align(
       output_size: P, the pooled resolution.
       sampling_ratio: samples per bin per axis; 0 = adaptive ceil(bin size).
       max_samples: static cap for the adaptive grid.
+      impl: "matmul" | "gather" formulation override (default: SF_ROI_ALIGN
+        env var, which defaults to "matmul" — see module docstring).
 
     Returns:
       (R, P, P, C) pooled features.
@@ -125,6 +171,20 @@ def roi_align(
     )
     wy = (s[None, None, :] < grid_h[:, None, None]).astype(jnp.float32)
     wx = (s[None, None, :] < grid_w[:, None, None]).astype(jnp.float32)
+
+    if (impl or _IMPL) == "matmul":
+        B, H, W, _ = feats.shape
+        Ay = _axis_weights(yy, grid_h, H)  # (R, P, H)
+        Ax = _axis_weights(xx, grid_w, W)  # (R, P, W)
+        onehot = (
+            batch_idx[:, None] == jnp.arange(B, dtype=jnp.int32)[None]
+        ).astype(jnp.float32)
+        # Fold the ROI->batch one-hot into the y weights so the first
+        # contraction selects each ROI's feature map and reduces the y
+        # axis in one matmul over (B*H).
+        Ayb = Ay[:, :, None, :] * onehot[:, None, :, None]  # (R,P,B,H)
+        tmp = jnp.einsum("rpbi,bijc->rpjc", Ayb, feats)
+        return jnp.einsum("rqj,rpjc->rpqc", Ax, tmp)
 
     # Full sample grid: (R, P, P, S, S)
     Y = jnp.broadcast_to(yy[:, :, None, :, None], yy.shape[:1] + (P, P, S, S))

@@ -279,3 +279,37 @@ def test_e2e_detection_synthetic(tmp_path):
     assert np.isfinite(
         float(jax.tree_util.tree_leaves(state.params)[0].sum())
     )
+
+
+def test_roi_align_matmul_matches_gather_impl():
+    """The separable-matmul formulation and the gather formulation agree
+    on values AND on the feature gradient (the gather path stays covered
+    even though matmul is the default)."""
+    from slowfast_tpu.ops import roi_align as ra
+
+    rs = np.random.RandomState(7)
+    feats = rs.randn(3, 9, 11, 6).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 10.0, 20.0, 120.0, 100.0],
+            [2, 0.0, 0.0, 176.0, 144.0],
+            [1, -8.0, 33.3, 61.7, 200.0],
+            [1, 0.0, 0.0, 0.0, 0.0],
+        ],
+        np.float32,
+    )
+
+    def run(impl, f):
+        return ra.roi_align(
+            f, rois, output_size=5, spatial_scale=1 / 16,
+            sampling_ratio=0, aligned=True, impl=impl,
+        )
+
+    fj = jnp.asarray(feats)
+    y_m = run("matmul", fj)
+    y_g = run("gather", fj)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_g), rtol=1e-5, atol=1e-5)
+
+    g_m = jax.grad(lambda f: (run("matmul", f) ** 2).sum())(fj)
+    g_g = jax.grad(lambda f: (run("gather", f) ** 2).sum())(fj)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), rtol=1e-4, atol=1e-4)

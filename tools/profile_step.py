@@ -142,6 +142,25 @@ def main():
         "inputs": _sf_inputs(cfg, args.batch, random=True),
         "labels": jnp.zeros((args.batch,), jnp.int32),
     }
+    if cfg.DETECTION.ENABLE:
+        # Mirror bench.bench_ava_detection's bucketed padded boxes +
+        # multi-label targets so detection recipes profile too.
+        import numpy as np
+
+        B, max_boxes = args.batch, 8
+        rs = np.random.RandomState(3)
+        xy1 = rs.rand(B, max_boxes, 2).astype(np.float32) * 100
+        wh = rs.rand(B, max_boxes, 2).astype(np.float32) * 100 + 4
+        n_real = rs.randint(1, max_boxes + 1, (B,))
+        batch["labels"] = jnp.asarray(
+            (rs.rand(B, max_boxes, cfg.MODEL.NUM_CLASSES) < 0.1).astype(
+                np.float32
+            )
+        )
+        batch["boxes"] = jnp.asarray(np.concatenate([xy1, xy1 + wh], -1))
+        batch["box_mask"] = jnp.asarray(
+            (np.arange(max_boxes)[None] < n_real[:, None]).astype(np.float32)
+        )
     if cfg.MASK.ENABLE and cfg.AUG.GEN_MASK_LOADER:
         import numpy as np
 
